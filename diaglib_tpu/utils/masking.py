@@ -1,0 +1,129 @@
+"""Masked static-shape linear algebra helpers.
+
+The Fortran reference grows/shrinks its subspaces with dynamic column
+arithmetic (e.g. diaglib.f90:1680-1691).  XLA requires static shapes, so the
+TPU design keeps every subspace at a fixed padded capacity and carries a
+boolean validity mask (or a scalar count for prefix-valid regions).  These
+helpers implement the core masked primitives used by every solver:
+
+* ``masked_eigh``    — eigh of a masked symmetric matrix; invalid rows/cols are
+  replaced by a diagonal pad larger than any genuine eigenvalue (a Gershgorin
+  bound), so the genuine eigenpairs occupy the *leading* positions of the
+  ascending spectrum and their eigenvectors are exactly zero on invalid rows.
+* ``masked_svd``     — SVD of a masked square matrix with identity padding,
+  re-sorted so genuine singular triplets occupy the leading positions in
+  descending order (exactly what an SVD of the compacted matrix would give).
+* ``masked_cholesky``— Cholesky with identity padding on invalid rows/cols.
+* ``gather_rows``    — extract ``width`` rows starting at a dynamic offset,
+  zeroing rows past a validity count (used to compact active residuals,
+  cf. diaglib.f90:1786 ``r(1,ind)``).
+* ``prefix_lock``    — the contiguous-prefix locking rule
+  (diaglib.f90:446-455).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "prefix_mask",
+    "gather_rows",
+    "scatter_rows",
+    "masked_eigh",
+    "masked_svd",
+    "masked_cholesky",
+    "prefix_lock",
+]
+
+
+def prefix_mask(k: int, count, dtype=bool):
+    """(k,) mask, True for indices < count (count may be traced)."""
+    return (jnp.arange(k) < count).astype(dtype)
+
+
+def gather_rows(x, start, width: int, count=None):
+    """Rows ``[start, start+width)`` of x, rows >= count (relative) zeroed.
+
+    ``start`` may be traced; ``width`` is static.  Out-of-range gathers are
+    clipped and then zeroed by the count mask, so callers must pass
+    ``count <= rows_available``.
+    """
+    idx = jnp.clip(start + jnp.arange(width), 0, x.shape[0] - 1)
+    out = jnp.take(x, idx, axis=0)
+    if count is not None:
+        mask = jnp.arange(width) < count
+        out = jnp.where(mask[(...,) + (None,) * (x.ndim - 1)], out, 0)
+    return out
+
+
+def scatter_rows(x, block, start):
+    """Write ``block`` into x at dynamic row offset ``start`` (static width)."""
+    zeros = (0,) * (x.ndim - 1)
+    return jax.lax.dynamic_update_slice(x, block.astype(x.dtype), (start,) + zeros)
+
+
+def _pad_value(a, outer):
+    """Gershgorin-style strict upper bound on |eigenvalues| of the masked part."""
+    row_sums = jnp.sum(jnp.abs(jnp.where(outer, a, 0.0)), axis=1)
+    return jnp.max(row_sums) + 1.0
+
+
+def masked_eigh(a, mask):
+    """eigh of the masked symmetric matrix.
+
+    Returns (w, v) with the genuine eigenpairs ascending in the leading
+    ``count(mask)`` positions; eigenvector columns for genuine eigenvalues are
+    exactly zero on masked rows (the padded matrix is block diagonal).
+    """
+    outer = mask[:, None] & mask[None, :]
+    a_m = jnp.where(outer, a, 0.0)
+    pad = _pad_value(a, outer)
+    a_m = a_m + jnp.diag(jnp.where(mask, 0.0, pad))
+    return jnp.linalg.eigh(a_m)
+
+
+def masked_svd(a, mask):
+    """SVD of the masked square matrix, genuine triplets leading.
+
+    Masked rows/cols are padded with the identity (singular value 1).  The
+    global descending sort may interleave pad singular values with genuine
+    ones, so the triplets are re-sorted (stably) by genuineness: a left
+    singular vector supported on valid rows is genuine.  The result equals the
+    SVD of the compacted matrix, embedded at the leading positions.
+    """
+    outer = mask[:, None] & mask[None, :]
+    a_m = jnp.where(outer, a, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
+    u, s, vt = jnp.linalg.svd(a_m)
+    # score ~ 1 for genuine columns (support on valid rows), ~0 for pad columns
+    score = jnp.sum(jnp.where(mask[:, None], u, 0.0) ** 2, axis=0)
+    order = jnp.argsort(jnp.where(score > 0.5, 0, 1), stable=True)
+    return u[:, order], s[order], vt[order, :]
+
+
+def masked_cholesky(a, mask):
+    """Lower Cholesky factor of the masked SPD matrix (identity padding).
+
+    Returns (L, failed): ``failed`` is True when the factorization produced
+    non-finite entries, i.e. the matrix is not positive definite — the signal
+    the reference gets from dpotrf's ``info`` (diaglib.f90:3261-3265).
+    """
+    outer = mask[:, None] & mask[None, :]
+    a_m = jnp.where(outer, a, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
+    chol = jnp.linalg.cholesky(a_m)
+    failed = ~jnp.all(jnp.isfinite(chol))
+    return chol, failed
+
+
+def prefix_lock(done, conv, n_targ: int):
+    """Contiguous-prefix locking (diaglib.f90:446-455).
+
+    A root is locked iff it and every preceding root (within the first
+    ``n_targ``) satisfy the convergence test or were already locked.
+    Roots beyond ``n_targ`` are never locked (the Fortran loops stop at
+    n_targ and reset the tail to false).
+    """
+    cand = (done | conv).astype(jnp.int32)
+    prefix = jnp.cumprod(cand).astype(bool)
+    targ = jnp.arange(done.shape[0]) < n_targ
+    return prefix & targ

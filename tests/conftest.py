@@ -1,0 +1,21 @@
+import os
+
+# Run the test suite on a simulated 8-device CPU mesh with float64 enabled,
+# matching the reference's double precision (real_precision.f90) and the
+# standard way to exercise sharding logic without a TPU pod.
+#
+# NOTE: a TPU plugin may force jax_platforms at interpreter start (overriding
+# the JAX_PLATFORMS env var), so the platform must be pinned via jax.config
+# *after* importing jax.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
