@@ -1,0 +1,136 @@
+"""Toy problem generators replicating the reference test driver.
+
+These reproduce the procedurally generated matrices and callbacks of
+``main.f90`` so convergence behavior can be compared 1:1 against the Fortran
+binary and against dense ``jnp.linalg`` oracles:
+
+* ``symm_matrix``     — a(i,i) = i+1, a(i,j) = 1/(i+j), 1-based
+  (main.f90:311-317).
+* ``metric_matrix``   — S = M^T M with M random uniform (main.f90:429-430).
+* ``casida_blocks``   — A+B with diag 5+i and off-diag 0.2/(i+j) (the
+  reference's loop at main.f90:569-575 overwrites apb's off-diagonals — the
+  *converged data* is what we reproduce), A-B diagonal 2+i,
+  sigma = I + M^T M, delta antisymmetric random (main.f90:562-597).
+* callbacks: dense matvec, shift-and-invert diagonal preconditioner with the
+  1e-5 guard (mprec, main.f90:159-168), metric apply, Casida operator applies
+  and the two paired diagonal LR preconditioners (main.f90:234-281).
+
+Everything is row-major: operator callbacks map ``x: (k, n) -> (k, n)`` where
+rows are vectors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "symm_matrix",
+    "metric_matrix",
+    "casida_blocks",
+    "dense_matvec",
+    "diag_precnd",
+    "lrprec_eff",
+    "lrprec_std",
+]
+
+
+def symm_matrix(n: int, dtype=jnp.float64):
+    """The Hilbert-like symmetric test matrix (main.f90:311-317)."""
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    off = 1.0 / (i[:, None] + i[None, :])
+    return jnp.fill_diagonal(off, i + 1.0, inplace=False)
+
+
+def metric_matrix(n: int, key, dtype=jnp.float64):
+    """Random SPD metric S = M^T M, M ~ U[0,1) (main.f90:429-430)."""
+    m = jax.random.uniform(key, (n, n), dtype=dtype)
+    return m.T @ m
+
+
+def casida_blocks(n: int, key, tdscf: bool = False, dtype=jnp.float64):
+    """Casida test blocks (main.f90:562-597).
+
+    Returns dict with apb, amb, sigma, delta, aa, bb, spd, smd.
+    With ``tdscf=True``, sigma = I and delta = 0 (test_scflr,
+    main.f90:762-794).
+    """
+    i = jnp.arange(1, n + 1, dtype=dtype)
+    apb = 0.2 / (i[:, None] + i[None, :])
+    apb = jnp.fill_diagonal(apb, 5.0 + i, inplace=False)
+    amb = jnp.diag(2.0 + i)
+    if tdscf:
+        sigma = jnp.eye(n, dtype=dtype)
+        delta = jnp.zeros((n, n), dtype=dtype)
+    else:
+        k1, k2 = jax.random.split(key)
+        m = jax.random.uniform(k1, (n, n), dtype=dtype)
+        sigma = m.T @ m + jnp.eye(n, dtype=dtype)
+        r = jax.random.uniform(k2, (n, n), dtype=dtype)
+        delta = r - r.T
+    aa = 0.5 * (apb + amb)
+    bb = 0.5 * (apb - amb)
+    return dict(
+        apb=apb, amb=amb, sigma=sigma, delta=delta,
+        aa=aa, bb=bb, spd=sigma + delta, smd=sigma - delta,
+    )
+
+
+def dense_matvec(a):
+    """Row-block matvec closure for a dense symmetric-or-not matrix.
+
+    For rows-as-vectors x, (A x_i)_j = sum_k A_jk x_ik, i.e. x @ A.T.
+    """
+    def mv(x):
+        return x @ a.T
+
+    return mv
+
+
+def diag_precnd(diagonal, guard: float = 1.0e-5):
+    """Shift-and-invert diagonal preconditioner (mprec, main.f90:159-168).
+
+    y_i = x_i / (d_i + fac) where |d_i + fac| > guard, else y_i = x_i.
+    """
+    diagonal = jnp.asarray(diagonal)
+
+    def pc(fac, x):
+        denom = diagonal + fac
+        safe = jnp.abs(denom) > guard
+        return jnp.where(safe[None, :], x / jnp.where(safe, denom, 1.0), x)
+
+    return pc
+
+
+def lrprec_eff(aa_diag, sigma_diag):
+    """Paired LR preconditioner for caslr_eff (lrprec_1, main.f90:234-258).
+
+    yp = -(a*xp + f*s*xm) / (a^2 - f^2 s^2), ym symmetric in xp/xm.
+    """
+    a = jnp.asarray(aa_diag)
+    sg = jnp.asarray(sigma_diag)
+
+    def pc(fac, xp, xm):
+        denom = a * a - fac * fac * sg * sg
+        yp = -(a * xp + fac * sg * xm) / denom
+        ym = -(a * xm + fac * sg * xp) / denom
+        return yp, ym
+
+    return pc
+
+
+def lrprec_std(aa_diag, sigma_diag):
+    """Paired LR preconditioner for caslr (lrprec_2, main.f90:260-281).
+
+    denom = f^2 a^2 - s^2; yp = (f*a*xp + s*xm)/denom, ym symmetric.
+    """
+    a = jnp.asarray(aa_diag)
+    sg = jnp.asarray(sigma_diag)
+
+    def pc(fac, xp, xm):
+        denom = fac * fac * a * a - sg * sg
+        yp = (fac * a * xp + sg * xm) / denom
+        ym = (fac * a * xm + sg * xp) / denom
+        return yp, ym
+
+    return pc

@@ -1,0 +1,5 @@
+"""Solver drivers (TPU-native re-designs of diaglib.f90's six drivers)."""
+
+from .davidson import davidson
+
+__all__ = ["davidson"]

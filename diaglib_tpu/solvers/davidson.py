@@ -1,0 +1,240 @@
+"""Block Davidson-Liu eigensolver (TPU-native).
+
+Re-designs the reference's ``davidson_driver`` (diaglib.f90:1483-1853) as a
+single jit-compiled ``lax.while_loop``.  The Fortran grows its expansion space
+by appending columns with dynamic index arithmetic; XLA needs static shapes,
+so here the space lives in a fixed padded buffer ``space: (lda_pad, n)`` (rows
+are vectors) with a scalar row count ``ldu`` and boolean masks — exactly the
+capacity bound the Fortran itself allocates (``lda = dim_dav*n_max``,
+diaglib.f90:1596) plus one block of scatter padding.
+
+Semantics preserved from the reference:
+
+* incremental reduced-matrix update — only the new block's rows of ``a_red``
+  are computed each iteration (diaglib.f90:1691);
+* contiguous-prefix locking with no locking at iteration 1
+  (diaglib.f90:1737-1746); converged roots are frozen (their residuals and
+  preconditioned updates are skipped) but stay in the space;
+* the preconditioner is called with the single shift ``-eig(ind)`` of the
+  first active root (diaglib.f90:1785-1786);
+* restart when the space is full: collapse onto the current Ritz vectors,
+  skip the matvecs of locked roots at the next iteration by seeding the
+  reduced matrix's diagonal with their eigenvalues (diaglib.f90:1795-1825,
+  1696-1702);
+* dual tolerance: rms = ||r||/sqrt(n) < tol and max|r| < 10*tol
+  (diaglib.f90:1622-1624, 1739-1741).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ortho.core import ortho_vs_x
+from ..types import SolverOptions, SolverResult
+from ..utils.guess import check_guess
+from ..utils.masking import (
+    gather_rows,
+    masked_eigh,
+    prefix_lock,
+    prefix_mask,
+    scatter_rows,
+)
+
+__all__ = ["davidson"]
+
+
+class _DavidsonState(NamedTuple):
+    it: jax.Array          # iteration counter (0-based)
+    space: jax.Array       # (lda_pad, n) expansion vectors, rows valid < ldu
+    aspace: jax.Array      # (lda_pad, n) A @ space rows
+    a_red: jax.Array       # (lda_pad, lda_pad) reduced matrix, lower-filled
+    ldu: jax.Array         # valid rows of space
+    n_act: jax.Array       # active (unconverged) block width
+    n_rst: jax.Array       # matvecs to skip right after a restart
+    m_dim: jax.Array       # macro-iterations since last restart
+    eig: jax.Array         # (n_max,) current Ritz values
+    evec: jax.Array        # (n_max, n) current Ritz vectors
+    done: jax.Array        # (n_max,) locked roots (contiguous prefix)
+    rms: jax.Array         # (n_max,) last computed rms norms
+    rmx: jax.Array         # (n_max,) last computed max norms
+    ok: jax.Array          # all n_targ roots converged
+    n_matvec: jax.Array    # operator applications (reference nmult semantics)
+    eig_h: jax.Array       # (max_iter, n_max) histories
+    rms_h: jax.Array
+    max_h: jax.Array
+
+
+def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
+    """Compute the lowest eigenpairs of a symmetric operator.
+
+    Args:
+      matvec: jittable linear callback ``(k, n) -> (k, n)`` (rows are
+        vectors); must map zero rows to zero rows.
+      precnd: jittable ``(shift_scalar, (k, n)) -> (k, n)`` preconditioner.
+      evec_guess: (n_max, n) initial guess rows; pass zeros for a random
+        start (check_guess semantics, diaglib.f90:3734-3786).
+      options: SolverOptions (n_targ, n_max, max_iter, tol, max_dav, shift).
+      key: PRNG key for the random guess fallback.
+
+    Returns a SolverResult; ``eig``/``evec`` hold the n_max Ritz pairs
+    (shift removed from eig like the reference's printout, diaglib.f90:1752).
+    """
+    n_targ, n_max = options.n_targ, options.n_max
+    lda = options.dim_dav * n_max
+    lda_pad = lda + n_max
+    max_iter = options.max_iter
+    evec_guess = jnp.asarray(evec_guess)
+    k_rows, n = evec_guess.shape
+    if k_rows != n_max:
+        raise ValueError(f"guess must have n_max={n_max} rows, got {k_rows}")
+    dtype = evec_guess.dtype
+    sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
+    tol_rms = jnp.asarray(options.tol, dtype)
+    tol_max = jnp.asarray(options.tol_max, dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    guess = check_guess(evec_guess, key)
+
+    def cond(s: _DavidsonState):
+        return (~s.ok) & (s.it < max_iter)
+
+    def body(s: _DavidsonState):
+        ldu_new = s.ldu + s.n_act
+        # the matvec block starts past the n_rst roots whose products are
+        # skipped right after a restart (Fortran i_beg + n_rst,
+        # diaglib.f90:1685); n_rst is 0 on the normal path
+        start = s.ldu + s.n_rst
+        width_valid = ldu_new - start
+
+        block = gather_rows(s.space, start, n_max, count=width_valid)
+        ablock = matvec(block)
+        ablock = jnp.where((jnp.arange(n_max) < width_valid)[:, None], ablock, 0.0)
+        aspace = scatter_rows(s.aspace, ablock, start)
+        n_matvec = s.n_matvec + s.n_act
+
+        # incremental reduced-matrix rows: a_red[g, j] = aspace_g . space_j
+        # (row-filled lower triangle; the Fortran fills columns of the upper
+        # one, diaglib.f90:1691 — same data, transposed layout)
+        new_rows = ablock @ s.space.T  # (n_max, lda_pad)
+        col_ok = prefix_mask(lda_pad, ldu_new)
+        new_rows = jnp.where(col_ok[None, :], new_rows, 0.0)
+        a_red = scatter_rows(s.a_red, new_rows, start)
+
+        sym = jnp.tril(a_red) + jnp.tril(a_red, -1).T
+        e_red, c_full = masked_eigh(sym, col_ok)
+        eig = e_red[:n_max]
+        c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
+
+        evec = c.T @ s.space
+        r = c.T @ aspace - eig[:, None] * evec
+
+        active = (~s.done) & (jnp.arange(n_max) < n_targ)
+        rms_new = jnp.linalg.norm(r, axis=1) / sqrtn
+        max_new = jnp.max(jnp.abs(r), axis=1)
+        rms = jnp.where(active, rms_new, s.rms)
+        rmx = jnp.where(active, max_new, s.rmx)
+
+        conv = (rms < tol_rms) & (rmx < tol_max) & (s.it > 0)
+        done = prefix_lock(s.done, conv, n_targ)
+        ok = jnp.all(jnp.where(jnp.arange(n_max) < n_targ, done, True))
+
+        eig_h = s.eig_h.at[s.it].set(eig - options.shift)
+        rms_h = s.rms_h.at[s.it].set(rms)
+        max_h = s.max_h.at[s.it].set(rmx)
+
+        n_frozen = jnp.sum(done, dtype=jnp.int32)
+        n_act_new = (n_max - n_frozen).astype(jnp.int32)
+
+        def expand(_):
+            shift = -eig[n_frozen]
+            rblk = gather_rows(r, n_frozen, n_max, count=n_act_new)
+            pre = precnd(shift, rblk)
+            umask = jnp.arange(n_max) < n_act_new
+            pre = jnp.where(umask[:, None], pre, 0.0)
+            unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+            return (
+                scatter_rows(s.space, unew, ldu_new),
+                aspace,
+                a_red,
+                ldu_new,
+                n_act_new,
+                jnp.asarray(0, jnp.int32),
+                s.m_dim + 1,
+            )
+
+        def restart(_):
+            sp = jnp.zeros_like(s.space)
+            sp = scatter_rows(sp, evec, 0)
+            ar = jnp.zeros_like(s.a_red)
+            # seed locked eigenvalues so their matvecs can be skipped
+            # (diaglib.f90:1696-1702, 1817-1823)
+            seed = jnp.where(jnp.arange(lda_pad) < n_frozen,
+                             jnp.pad(eig, (0, lda_pad - n_max)), 0.0)
+            ar = ar + jnp.diag(seed)
+            return (
+                sp,
+                jnp.zeros_like(aspace),
+                ar,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(n_max, jnp.int32),
+                n_frozen.astype(jnp.int32),
+                jnp.asarray(1, jnp.int32),
+            )
+
+        def noop(_):
+            return (s.space, aspace, a_red, ldu_new, s.n_act,
+                    jnp.asarray(0, jnp.int32), s.m_dim)
+
+        space2, aspace2, a_red2, ldu2, n_act2, n_rst2, m_dim2 = jax.lax.cond(
+            ok,
+            noop,
+            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand, restart, None),
+            None,
+        )
+
+        return _DavidsonState(
+            it=s.it + 1, space=space2, aspace=aspace2, a_red=a_red2,
+            ldu=ldu2, n_act=n_act2, n_rst=n_rst2, m_dim=m_dim2,
+            eig=eig, evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
+            n_matvec=n_matvec, eig_h=eig_h, rms_h=rms_h, max_h=max_h,
+        )
+
+    space0 = jnp.zeros((lda_pad, n), dtype)
+    space0 = scatter_rows(space0, guess, 0)
+    init = _DavidsonState(
+        it=jnp.asarray(0, jnp.int32),
+        space=space0,
+        aspace=jnp.zeros((lda_pad, n), dtype),
+        a_red=jnp.zeros((lda_pad, lda_pad), dtype),
+        ldu=jnp.asarray(0, jnp.int32),
+        n_act=jnp.asarray(n_max, jnp.int32),
+        n_rst=jnp.asarray(0, jnp.int32),
+        m_dim=jnp.asarray(1, jnp.int32),
+        eig=jnp.zeros((n_max,), dtype),
+        evec=jnp.zeros((n_max, n), dtype),
+        done=jnp.zeros((n_max,), bool),
+        rms=jnp.full((n_max,), jnp.inf, dtype),
+        rmx=jnp.full((n_max,), jnp.inf, dtype),
+        ok=jnp.asarray(False),
+        n_matvec=jnp.asarray(0, jnp.int32),
+        eig_h=jnp.zeros((max_iter, n_max), dtype),
+        rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+        max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+    )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolverResult(
+        eig=out.eig - options.shift,
+        evec=out.evec,
+        ok=out.ok,
+        n_iter=out.it,
+        n_matvec=out.n_matvec,
+        done=out.done,
+        rms_history=out.rms_h,
+        max_history=out.max_h,
+        eig_history=out.eig_h,
+    )

@@ -59,7 +59,8 @@ def gather_rows(x, start, width: int, count=None):
 
 def scatter_rows(x, block, start):
     """Write ``block`` into x at dynamic row offset ``start`` (static width)."""
-    zeros = (0,) * (x.ndim - 1)
+    start = jnp.asarray(start, jnp.int32)
+    zeros = (jnp.asarray(0, jnp.int32),) * (x.ndim - 1)
     return jax.lax.dynamic_update_slice(x, block.astype(x.dtype), (start,) + zeros)
 
 
