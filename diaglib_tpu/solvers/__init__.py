@@ -1,5 +1,6 @@
 """Solver drivers (TPU-native re-designs of diaglib.f90's six drivers)."""
 
 from .davidson import davidson
+from .lobpcg import lobpcg
 
-__all__ = ["davidson"]
+__all__ = ["davidson", "lobpcg"]
