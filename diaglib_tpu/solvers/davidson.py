@@ -1,28 +1,38 @@
-"""Block Davidson-Liu eigensolver (TPU-native).
+"""Block Davidson-Liu eigensolvers: standard and generalized (TPU-native).
 
-Re-designs the reference's ``davidson_driver`` (diaglib.f90:1483-1853) as a
-single jit-compiled ``lax.while_loop``.  The Fortran grows its expansion space
-by appending columns with dynamic index arithmetic; XLA needs static shapes,
-so here the space lives in a fixed padded buffer ``space: (lda_pad, n)`` (rows
-are vectors) with a scalar row count ``ldu`` and boolean masks — exactly the
+Re-designs the reference's ``davidson_driver`` (diaglib.f90:1483-1853) and
+``gen_david_driver`` (diaglib.f90:1855-2250) as a single jit-compiled
+``lax.while_loop``.  The Fortran grows its expansion space by appending
+columns with dynamic index arithmetic; XLA needs static shapes, so here the
+space lives in a fixed padded buffer ``space: (lda_pad, n)`` (rows are
+vectors) with a scalar row count ``ldu`` and boolean masks — exactly the
 capacity bound the Fortran itself allocates (``lda = dim_dav*n_max``,
 diaglib.f90:1596) plus one block of scatter padding.
 
 Semantics preserved from the reference:
 
 * incremental reduced-matrix update — only the new block's rows of ``a_red``
-  are computed each iteration (diaglib.f90:1691);
+  are computed each iteration (diaglib.f90:1691, 2078);
 * contiguous-prefix locking with no locking at iteration 1
   (diaglib.f90:1737-1746); converged roots are frozen (their residuals and
   preconditioned updates are skipped) but stay in the space;
 * the preconditioner is called with the single shift ``-eig(ind)`` of the
-  first active root (diaglib.f90:1785-1786);
+  first active root (diaglib.f90:1785-1786, 2176-2177);
 * restart when the space is full: collapse onto the current Ritz vectors,
   skip the matvecs of locked roots at the next iteration by seeding the
   reduced matrix's diagonal with their eigenvalues (diaglib.f90:1795-1825,
   1696-1702);
 * dual tolerance: rms = ||r||/sqrt(n) < tol and max|r| < 10*tol
   (diaglib.f90:1622-1624, 1739-1741).
+
+Generalized path (A x = λ B x, ``gen_david``): the expansion space is kept
+**B-orthonormal** so the reduced problem stays a standard symmetric one
+(diaglib.f90:2033-2034, 2098, 2183-2185); the residual uses B·evec
+(diaglib.f90:2111-2123).  The reference's restart zeroes ``bspace`` right
+after re-B-orthonormalizing with it (diaglib.f90:2199-2200), silently
+corrupting every post-restart iteration; this rebuild keeps ``bspace``
+consistent (SURVEY.md §2.1 S3: reproduce the converged behavior, not the
+bug).
 """
 
 from __future__ import annotations
@@ -32,7 +42,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ortho.core import ortho_vs_x
+from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_vs_x
 from ..types import SolverOptions, SolverResult
 from ..utils.guess import check_guess
 from ..utils.masking import (
@@ -43,13 +53,14 @@ from ..utils.masking import (
     scatter_rows,
 )
 
-__all__ = ["davidson"]
+__all__ = ["davidson", "gen_david"]
 
 
 class _DavidsonState(NamedTuple):
     it: jax.Array          # iteration counter (0-based)
     space: jax.Array       # (lda_pad, n) expansion vectors, rows valid < ldu
     aspace: jax.Array      # (lda_pad, n) A @ space rows
+    bspace: jax.Array      # (lda_pad, n) B @ space rows (generalized only)
     a_red: jax.Array       # (lda_pad, lda_pad) reduced matrix, lower-filled
     ldu: jax.Array         # valid rows of space
     n_act: jax.Array       # active (unconverged) block width
@@ -67,21 +78,9 @@ class _DavidsonState(NamedTuple):
     max_h: jax.Array
 
 
-def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
-    """Compute the lowest eigenpairs of a symmetric operator.
-
-    Args:
-      matvec: jittable linear callback ``(k, n) -> (k, n)`` (rows are
-        vectors); must map zero rows to zero rows.
-      precnd: jittable ``(shift_scalar, (k, n)) -> (k, n)`` preconditioner.
-      evec_guess: (n_max, n) initial guess rows; pass zeros for a random
-        start (check_guess semantics, diaglib.f90:3734-3786).
-      options: SolverOptions (n_targ, n_max, max_iter, tol, max_dav, shift).
-      key: PRNG key for the random guess fallback.
-
-    Returns a SolverResult; ``eig``/``evec`` hold the n_max Ritz pairs
-    (shift removed from eig like the reference's printout, diaglib.f90:1752).
-    """
+def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
+                   key):
+    gen_eig = bvec is not None
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
@@ -98,6 +97,11 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
         key = jax.random.PRNGKey(0)
 
     guess = check_guess(evec_guess, key)
+    if gen_eig:
+        bguess = bvec(guess)
+        guess, bguess = b_ortho(guess, bguess)
+    else:
+        bguess = jnp.zeros_like(guess)
 
     def cond(s: _DavidsonState):
         return (~s.ok) & (s.it < max_iter)
@@ -130,7 +134,8 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
         c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 
         evec = c.T @ s.space
-        r = c.T @ aspace - eig[:, None] * evec
+        metric_evec = c.T @ s.bspace if gen_eig else evec
+        r = c.T @ aspace - eig[:, None] * metric_evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms_new = jnp.linalg.norm(r, axis=1) / sqrtn
@@ -155,10 +160,20 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
             pre = precnd(shift, rblk)
             umask = jnp.arange(n_max) < n_act_new
             pre = jnp.where(umask[:, None], pre, 0.0)
-            unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+            if gen_eig:
+                unew, _ = b_ortho_vs_x(s.space, s.bspace, pre,
+                                       xmask=col_ok, umask=umask)
+                bnew = bvec(unew)
+                bnew = jnp.where(umask[:, None], bnew, 0.0)
+                unew, bnew = b_ortho(unew, bnew, umask)
+                bspace2 = scatter_rows(s.bspace, bnew, ldu_new)
+            else:
+                unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+                bspace2 = s.bspace
             return (
                 scatter_rows(s.space, unew, ldu_new),
                 aspace,
+                bspace2,
                 a_red,
                 ldu_new,
                 n_act_new,
@@ -167,8 +182,15 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
             )
 
         def restart(_):
-            sp = jnp.zeros_like(s.space)
-            sp = scatter_rows(sp, evec, 0)
+            if gen_eig:
+                # collapse + re-B-orthonormalize the Ritz block
+                # (diaglib.f90:2196-2198; bspace KEPT, see module docstring)
+                ev, bev = b_ortho(evec, metric_evec)
+            else:
+                ev, bev = evec, metric_evec
+            sp = scatter_rows(jnp.zeros_like(s.space), ev, 0)
+            bsp = (scatter_rows(jnp.zeros_like(s.bspace), bev, 0)
+                   if gen_eig else s.bspace)
             ar = jnp.zeros_like(s.a_red)
             # seed locked eigenvalues so their matvecs can be skipped
             # (diaglib.f90:1696-1702, 1817-1823)
@@ -178,6 +200,7 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
             return (
                 sp,
                 jnp.zeros_like(aspace),
+                bsp,
                 ar,
                 jnp.asarray(0, jnp.int32),
                 jnp.asarray(n_max, jnp.int32),
@@ -186,29 +209,32 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
             )
 
         def noop(_):
-            return (s.space, aspace, a_red, ldu_new, s.n_act,
+            return (s.space, aspace, s.bspace, a_red, ldu_new, s.n_act,
                     jnp.asarray(0, jnp.int32), s.m_dim)
 
-        space2, aspace2, a_red2, ldu2, n_act2, n_rst2, m_dim2 = jax.lax.cond(
+        (space2, aspace2, bspace2, a_red2, ldu2, n_act2, n_rst2,
+         m_dim2) = jax.lax.cond(
             ok,
             noop,
-            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand, restart, None),
+            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
+                                   restart, None),
             None,
         )
 
         return _DavidsonState(
-            it=s.it + 1, space=space2, aspace=aspace2, a_red=a_red2,
-            ldu=ldu2, n_act=n_act2, n_rst=n_rst2, m_dim=m_dim2,
+            it=s.it + 1, space=space2, aspace=aspace2, bspace=bspace2,
+            a_red=a_red2, ldu=ldu2, n_act=n_act2, n_rst=n_rst2, m_dim=m_dim2,
             eig=eig, evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
             n_matvec=n_matvec, eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
-    space0 = jnp.zeros((lda_pad, n), dtype)
-    space0 = scatter_rows(space0, guess, 0)
+    space0 = scatter_rows(jnp.zeros((lda_pad, n), dtype), guess, 0)
+    bspace0 = scatter_rows(jnp.zeros((lda_pad, n), dtype), bguess, 0)
     init = _DavidsonState(
         it=jnp.asarray(0, jnp.int32),
         space=space0,
         aspace=jnp.zeros((lda_pad, n), dtype),
+        bspace=bspace0,
         a_red=jnp.zeros((lda_pad, lda_pad), dtype),
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
@@ -238,3 +264,33 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
         max_history=out.max_h,
         eig_history=out.eig_h,
     )
+
+
+def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
+    """Compute the lowest eigenpairs of a symmetric operator.
+
+    Args:
+      matvec: jittable linear callback ``(k, n) -> (k, n)`` (rows are
+        vectors); must map zero rows to zero rows.
+      precnd: jittable ``(shift_scalar, (k, n)) -> (k, n)`` preconditioner.
+      evec_guess: (n_max, n) initial guess rows; pass zeros for a random
+        start (check_guess semantics, diaglib.f90:3734-3786).
+      options: SolverOptions (n_targ, n_max, max_iter, tol, max_dav, shift).
+      key: PRNG key for the random guess fallback.
+
+    Returns a SolverResult; ``eig``/``evec`` hold the n_max Ritz pairs
+    (shift removed from eig like the reference's printout, diaglib.f90:1752).
+    """
+    return _davidson_impl(matvec, precnd, None, evec_guess, options, key)
+
+
+def gen_david(matvec, precnd, bvec, evec_guess, options: SolverOptions, *,
+              key=None):
+    """Generalized Davidson for A x = λ B x with B-orthonormal expansion
+    space (gen_david_driver, diaglib.f90:1855-2250).
+
+    ``bvec`` applies the SPD metric B to a row block.  The reduced problem
+    stays a standard symmetric eigenproblem because the space is kept
+    B-orthonormal (diaglib.f90:2098).
+    """
+    return _davidson_impl(matvec, precnd, bvec, evec_guess, options, key)
