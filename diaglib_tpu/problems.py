@@ -102,8 +102,9 @@ def diag_precnd(diagonal, guard: float = 1.0e-5):
     return pc
 
 
-def lrprec_eff(aa_diag, sigma_diag):
-    """Paired LR preconditioner for caslr_eff (lrprec_1, main.f90:234-258).
+def lrprec_std(aa_diag, sigma_diag):
+    """Paired LR preconditioner for caslr (lrprec_1, main.f90:234-258;
+    passed to caslr_driver at main.f90:667-668 with fac = omega).
 
     yp = -(a*xp + f*s*xm) / (a^2 - f^2 s^2), ym symmetric in xp/xm.
     """
@@ -119,8 +120,9 @@ def lrprec_eff(aa_diag, sigma_diag):
     return pc
 
 
-def lrprec_std(aa_diag, sigma_diag):
-    """Paired LR preconditioner for caslr (lrprec_2, main.f90:260-281).
+def lrprec_eff(aa_diag, sigma_diag):
+    """Paired LR preconditioner for caslr_eff (lrprec_2, main.f90:260-281;
+    passed to caslr_eff_driver at main.f90:715-716 with fac = 1/omega).
 
     denom = f^2 a^2 - s^2; yp = (f*a*xp + s*xm)/denom, ym symmetric.
     """

@@ -1,6 +1,7 @@
 """Solver drivers (TPU-native re-designs of diaglib.f90's six drivers)."""
 
+from .caslr import caslr, caslr_eff
 from .davidson import davidson, gen_david
 from .lobpcg import lobpcg
 
-__all__ = ["davidson", "gen_david", "lobpcg"]
+__all__ = ["caslr", "caslr_eff", "davidson", "gen_david", "lobpcg"]

@@ -1,0 +1,497 @@
+"""Casida linear-response eigensolvers (TPU-native).
+
+Solves the paired response problem
+
+    [[A, B], [B, A]] (Y, Z) = w [[S, D], [-D, -S]] (Y, Z)
+
+in the symmetric/antisymmetric combinations vp = Y+Z, vm = Y-Z, through four
+operator callbacks apbmul = (A+B)·, ambmul = (A-B)·, spdmul = (S+D)·,
+smdmul = (S-D)· and a paired preconditioner ``lrprec``.
+
+Two drivers, both jit-compiled ``lax.while_loop``s over fixed padded
+subspaces (rows are vectors):
+
+* ``caslr``     — the reference's ``caslr_driver`` (diaglib.f90:558-1022):
+  plain-orthonormal vp/vm spaces; per iteration 4 operator applications on
+  the new block; reduced 2·ldu generalized problem.  Two reduced-solve
+  algorithms: ``algorithm=0`` solves the inverse pencil
+  ``S_red x = e A_red x`` and takes eigenvalues as 1/e from the top
+  (diaglib.f90:773-803); ``algorithm=1`` is the Helmich-Paris scheme: SVD of
+  smat, scaled projections, two Cholesky factors, C = (L-)^T L+, second SVD
+  (diaglib.f90:805-872; per JCTC 2021, Helmich-Paris).
+* ``caslr_eff`` — the reference's ``caslr_eff_driver``
+  (diaglib.f90:1024-1481, per Stratmann-Scuseria-Frisch JCP 109, 8218):
+  expansion vectors kept B-orthonormal w.r.t. (A+B) and (A-B), so the
+  reduced problem collapses to the half-size symmetric ``s^T s`` eigenvalue
+  problem; only 2 operator applications per iteration in the loop;
+  eigenvalues carried as 1/w internally, inverted on exit
+  (diaglib.f90:1310, 1376-1379).
+
+Static-shape mapping: fixed buffers (lda_pad, n) with a scalar valid-row
+count ``ldu`` and prefix masks, exactly as in the Davidson driver.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_cd, ortho_vs_x
+from ..types import LRSolverResult, SolverOptions
+from ..utils.masking import (
+    gather_rows,
+    masked_svd,
+    prefix_lock,
+    prefix_mask,
+    scatter_rows,
+)
+
+__all__ = ["caslr", "caslr_eff"]
+
+
+def _split_guess(evec_guess, n_max):
+    """(n_max, 2n) paired rows -> (vp, vm) = (Y+Z, Y-Z) (diaglib.f90:711-714)."""
+    evec_guess = jnp.asarray(evec_guess)
+    if evec_guess.shape[0] != n_max:
+        raise ValueError(f"guess must have n_max={n_max} rows")
+    n2 = evec_guess.shape[1]
+    if n2 % 2:
+        raise ValueError("guess rows must have even length 2n")
+    n = n2 // 2
+    y, z = evec_guess[:, :n], evec_guess[:, n:]
+    return y + z, y - z, n
+
+
+def _nonzero_or_random(v, key):
+    """Random fallback when the caller passes a zero guess (the reference
+    would feed zeros straight into ortho_cd and die; be kinder)."""
+    fac = jnp.linalg.norm(v)
+    rnd = jax.random.uniform(key, v.shape, dtype=v.dtype) - 0.5
+    return jnp.where(fac == 0.0, rnd, v)
+
+
+def _combine(eigp, eigm):
+    """(Y, Z) rows of length 2n from the plus/minus components
+    (diaglib.f90:878-881)."""
+    return jnp.concatenate([eigp + eigm, eigp - eigm], axis=1)
+
+
+def _pad_eye(a, mask):
+    outer = mask[:, None] & mask[None, :]
+    return jnp.where(outer, a, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
+
+
+def _pad_zero(a, mask):
+    outer = mask[:, None] & mask[None, :]
+    return jnp.where(outer, a, 0.0)
+
+
+def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max):
+    """algorithm=0 reduced solve (diaglib.f90:773-803).
+
+    Solve the 2L-dimensional pencil  S_red x = e A_red x  with
+    A_red = diag(ep, em) (SPD), S_red = [[0, s^T], [s, 0]], then take the
+    n_max largest e: w = 1/e, x = (up, um), normalized x^T A_red x = I
+    (LAPACK dsygv itype=1 convention).
+    """
+    L = epmat.shape[0]
+    ep = _pad_eye(0.5 * (epmat + epmat.T), mask)
+    em = _pad_eye(0.5 * (emmat + emmat.T), mask)
+    sz = _pad_zero(smat, mask)
+    zero = jnp.zeros_like(ep)
+    a_red = jnp.block([[ep, zero], [zero, em]])
+    s_red = jnp.block([[zero, sz.T], [sz, zero]])
+    lo = jnp.linalg.cholesky(a_red)
+    tmp = solve_triangular(lo, s_red, lower=True)
+    std = solve_triangular(lo, tmp.T, lower=True)  # L^-1 S L^-T (symmetric)
+    e, y = jnp.linalg.eigh(0.5 * (std + std.T))
+    x = solve_triangular(lo, y, lower=True, trans=1)
+    # pencil eigenvalues come in +/- pairs; pads sit at 0, so the n_max
+    # largest genuine ones are the trailing entries
+    e_top = e[::-1][:n_max]
+    x_top = x[:, ::-1][:, :n_max]
+    eig = 1.0 / e_top
+    return eig, x_top[:L], x_top[L:]
+
+
+def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max):
+    """algorithm=1 reduced solve (diaglib.f90:805-872).
+
+    SVD smat = U1 S1 V1^T; scale by S1^{-1/2}; project ep/em; Cholesky both;
+    C = Lm^T Lp; SVD C = U2 S2 V2^T; eigenvalues are the n_max smallest
+    genuine singular values of C (ascending), eigenvector components
+    xp = V1s Lm U2, xm = U1s Lp V2, scaled by 1/(sqrt(2) w).
+    """
+    dtype = smat.dtype
+    sz = _pad_eye(smat, mask)
+    u1, s1, vt1 = masked_svd(sz, mask)
+    inv_sqrt = 1.0 / jnp.sqrt(s1)
+    u1s = u1 * inv_sqrt[None, :]      # columns scaled (diaglib.f90:818)
+    vt1s = vt1 * inv_sqrt[:, None]    # rows scaled   (diaglib.f90:819)
+
+    ep = _pad_eye(0.5 * (epmat + epmat.T), mask)
+    em = _pad_eye(0.5 * (emmat + emmat.T), mask)
+    ept = vt1s @ ep @ vt1s.T
+    emt = u1s.T @ em @ u1s
+    lp = jnp.linalg.cholesky(0.5 * (ept + ept.T))
+    lm = jnp.linalg.cholesky(0.5 * (emt + emt.T))
+    cmat = lm.T @ lp
+    u2, s2, vt2 = masked_svd(cmat, mask)
+
+    # genuine singular values occupy the leading ldu slots in descending
+    # order; the reference reads them from the bottom (smallest first)
+    pos = jnp.clip(ldu - 1 - jnp.arange(n_max), 0, s2.shape[0] - 1)
+    eig = jnp.take(s2, pos)
+    xpt = vt1s.T @ (lm @ u2)
+    xmt = u1s @ (lp @ vt2.T)
+    scale = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * eig)
+    up = jnp.take(xpt, pos, axis=1) * scale[None, :]
+    um = jnp.take(xmt, pos, axis=1) * scale[None, :]
+    return eig, up, um
+
+
+class _CaslrState(NamedTuple):
+    it: jax.Array
+    vp: jax.Array
+    vm: jax.Array
+    lvp: jax.Array
+    lvm: jax.Array
+    bvp: jax.Array
+    bvm: jax.Array
+    ldu: jax.Array
+    n_act: jax.Array
+    m_dim: jax.Array
+    eig: jax.Array
+    evec: jax.Array
+    done: jax.Array
+    rms: jax.Array
+    rmx: jax.Array
+    ok: jax.Array
+    n_matvec: jax.Array
+    eig_h: jax.Array
+    rms_h: jax.Array
+    max_h: jax.Array
+
+
+def _lr_result(out, options):
+    return LRSolverResult(
+        eig=out.eig, evec=out.evec, ok=out.ok, n_iter=out.it,
+        n_matvec=out.n_matvec, done=out.done,
+        rms_history=out.rms_h, max_history=out.max_h, eig_history=out.eig_h,
+    )
+
+
+def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
+          options: SolverOptions, *, algorithm: int = 0, key=None):
+    """Casida LR solver with plain-orthonormal expansion spaces
+    (caslr_driver, diaglib.f90:558-1022).
+
+    ``algorithm`` selects the reduced solve: 0 = inverse pencil (the
+    reference's default, utils.f90 i_alg=0), 1 = Helmich-Paris.
+    ``lrprec(w, rp, rm) -> (yp, ym)`` is called with the first active
+    eigenvalue (diaglib.f90:953-954).  Returns eigenvalues w (ascending) and
+    paired eigenvectors (Y, Z) rows of length 2n.
+    """
+    if algorithm not in (0, 1):
+        raise ValueError("algorithm must be 0 or 1")
+    n_targ, n_max = options.n_targ, options.n_max
+    lda = options.dim_dav * n_max
+    lda_pad = lda + n_max
+    max_iter = options.max_iter
+    vp0, vm0, n = _split_guess(evec_guess, n_max)
+    dtype = vp0.dtype
+    sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
+    tol_rms = jnp.asarray(options.tol, dtype)
+    tol_max = jnp.asarray(options.tol_max, dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kp, km = jax.random.split(key)
+
+    vp0, _, _ = ortho_cd(_nonzero_or_random(vp0, kp))
+    vm0, _, _ = ortho_cd(_nonzero_or_random(vm0, km))
+
+    def cond(s: _CaslrState):
+        return (~s.ok) & (s.it < max_iter)
+
+    def body(s: _CaslrState):
+        ldu_new = s.ldu + s.n_act
+        amask = jnp.arange(n_max) < s.n_act
+
+        def apply_new(op, space, target):
+            blk = gather_rows(space, s.ldu, n_max, count=s.n_act)
+            out = op(blk)
+            out = jnp.where(amask[:, None], out, 0.0)
+            return scatter_rows(target, out, s.ldu)
+
+        lvp = apply_new(apbmul, s.vp, s.lvp)
+        lvm = apply_new(ambmul, s.vm, s.lvm)
+        bvm = apply_new(spdmul, s.vp, s.bvm)   # (S+D) vp -> bvm
+        bvp = apply_new(smdmul, s.vm, s.bvp)   # (S-D) vm -> bvp
+        n_matvec = s.n_matvec + 4 * s.n_act
+
+        col_ok = prefix_mask(lda_pad, ldu_new)
+        epmat = s.vp @ lvp.T
+        emmat = s.vm @ lvm.T
+        smat = s.vm @ bvm.T
+
+        if algorithm == 0:
+            eig, up, um = _reduced_inverse_pencil(epmat, emmat, smat,
+                                                  col_ok, n_max)
+        else:
+            eig, up, um = _reduced_helmich_paris(epmat, emmat, smat,
+                                                 col_ok, ldu_new, n_max)
+
+        eigp = up.T @ s.vp
+        eigm = um.T @ s.vm
+        evec = _combine(eigp, eigm)
+
+        rp = up.T @ lvp - eig[:, None] * (um.T @ bvp)
+        rm = um.T @ lvm - eig[:, None] * (up.T @ bvm)
+
+        active = (~s.done) & (jnp.arange(n_max) < n_targ)
+        rms_new = (jnp.linalg.norm(rp, axis=1)
+                   + jnp.linalg.norm(rm, axis=1)) / sqrtn
+        max_new = jnp.max(jnp.abs(rp), axis=1) + jnp.max(jnp.abs(rm), axis=1)
+        rms = jnp.where(active, rms_new, s.rms)
+        rmx = jnp.where(active, max_new, s.rmx)
+
+        conv = (rms < tol_rms) & (rmx < tol_max) & (s.it > 0)
+        done = prefix_lock(s.done, conv, n_targ)
+        ok = jnp.all(jnp.where(jnp.arange(n_max) < n_targ, done, True))
+
+        eig_h = s.eig_h.at[s.it].set(eig)
+        rms_h = s.rms_h.at[s.it].set(rms)
+        max_h = s.max_h.at[s.it].set(rmx)
+
+        n_frozen = jnp.sum(done, dtype=jnp.int32)
+        n_act_new = (n_max - n_frozen).astype(jnp.int32)
+
+        def expand(_):
+            umask = jnp.arange(n_max) < n_act_new
+            rpb = gather_rows(rp, n_frozen, n_max, count=n_act_new)
+            rmb = gather_rows(rm, n_frozen, n_max, count=n_act_new)
+            yp, ym = lrprec(eig[n_frozen], rpb, rmb)
+            yp = jnp.where(umask[:, None], yp, 0.0)
+            ym = jnp.where(umask[:, None], ym, 0.0)
+            yp, _ = ortho_vs_x(s.vp, yp, xmask=col_ok, umask=umask)
+            ym, _ = ortho_vs_x(s.vm, ym, xmask=col_ok, umask=umask)
+            return (scatter_rows(s.vp, yp, ldu_new),
+                    scatter_rows(s.vm, ym, ldu_new),
+                    lvp, lvm, bvp, bvm,
+                    ldu_new, n_act_new, s.m_dim + 1)
+
+        def restart(_):
+            vpn, _, _ = ortho_cd(eigp)
+            vmn, _, _ = ortho_cd(eigm)
+            z = jnp.zeros_like(s.vp)
+            return (scatter_rows(z, vpn, 0), scatter_rows(z, vmn, 0),
+                    z, z, z, z,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
+                    jnp.asarray(1, jnp.int32))
+
+        def finish(_):
+            return (s.vp, s.vm, lvp, lvm, bvp, bvm, ldu_new, s.n_act, s.m_dim)
+
+        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2) = jax.lax.cond(
+            ok, finish,
+            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
+                                   restart, None),
+            None,
+        )
+
+        return _CaslrState(
+            it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
+            bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2, eig=eig,
+            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok, n_matvec=n_matvec,
+            eig_h=eig_h, rms_h=rms_h, max_h=max_h,
+        )
+
+    z0 = jnp.zeros((lda_pad, n), dtype)
+    init = _CaslrState(
+        it=jnp.asarray(0, jnp.int32),
+        vp=scatter_rows(z0, vp0, 0), vm=scatter_rows(z0, vm0, 0),
+        lvp=z0, lvm=z0, bvp=z0, bvm=z0,
+        ldu=jnp.asarray(0, jnp.int32),
+        n_act=jnp.asarray(n_max, jnp.int32),
+        m_dim=jnp.asarray(1, jnp.int32),
+        eig=jnp.zeros((n_max,), dtype),
+        evec=jnp.zeros((n_max, 2 * n), dtype),
+        done=jnp.zeros((n_max,), bool),
+        rms=jnp.full((n_max,), jnp.inf, dtype),
+        rmx=jnp.full((n_max,), jnp.inf, dtype),
+        ok=jnp.asarray(False),
+        n_matvec=jnp.asarray(0, jnp.int32),
+        eig_h=jnp.zeros((max_iter, n_max), dtype),
+        rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+        max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+    )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return _lr_result(out, options)
+
+
+def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
+              options: SolverOptions, *, key=None):
+    """Efficient Casida solver with (A±B)-orthonormal expansion vectors
+    (caslr_eff_driver, diaglib.f90:1024-1481).
+
+    The reduced problem is the half-size symmetric ``s^T s u+ = (1/w)^2 u+``;
+    only spdmul/smdmul run in the loop, apbmul/ambmul only when expanding.
+    ``lrprec`` is called with the internal 1/w (diaglib.f90:1406-1407).
+    """
+    n_targ, n_max = options.n_targ, options.n_max
+    lda = options.dim_dav * n_max
+    lda_pad = lda + n_max
+    max_iter = options.max_iter
+    vp0, vm0, n = _split_guess(evec_guess, n_max)
+    dtype = vp0.dtype
+    sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+    tol_rms = jnp.asarray(options.tol, dtype)
+    tol_max = jnp.asarray(options.tol_max, dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kp, km = jax.random.split(key)
+
+    def metric_ortho(v, op, mask=None):
+        lv = op(v)
+        if mask is not None:
+            lv = jnp.where(mask[:, None], lv, 0.0)
+        return b_ortho(v, lv, mask)
+
+    vp0, lvp0 = metric_ortho(_nonzero_or_random(vp0, kp), apbmul)
+    vm0, lvm0 = metric_ortho(_nonzero_or_random(vm0, km), ambmul)
+
+    def cond(s: _CaslrState):
+        return (~s.ok) & (s.it < max_iter)
+
+    def body(s: _CaslrState):
+        ldu_new = s.ldu + s.n_act
+        amask = jnp.arange(n_max) < s.n_act
+
+        def apply_new(op, space, target):
+            blk = gather_rows(space, s.ldu, n_max, count=s.n_act)
+            out = op(blk)
+            out = jnp.where(amask[:, None], out, 0.0)
+            return scatter_rows(target, out, s.ldu)
+
+        bvm = apply_new(spdmul, s.vp, s.bvm)
+        bvp = apply_new(smdmul, s.vm, s.bvp)
+        n_matvec = s.n_matvec + 2 * s.n_act
+
+        col_ok = prefix_mask(lda_pad, ldu_new)
+        smat = _pad_zero(s.vm @ bvm.T, col_ok)
+        sts = smat.T @ smat
+        # pad with a large negative diagonal so the genuine (>=0) spectrum
+        # occupies the trailing ascending slots (we need the LARGEST here,
+        # diaglib.f90:1309-1312)
+        pad = -(jnp.max(jnp.sum(jnp.abs(sts), axis=1)) + 1.0)
+        sts = sts + jnp.diag(jnp.where(col_ok, 0.0, pad))
+        e_red, c_full = jnp.linalg.eigh(sts)
+        inv_w = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # eig = 1/w, descending
+        up = c_full[:, ::-1][:, :n_max]
+        um = (smat @ up) / inv_w[None, :]
+
+        eigp = up.T @ s.vp
+        eigm = um.T @ s.vm
+        evec = _combine(eigp, eigm)
+
+        rp = um.T @ bvp - inv_w[:, None] * (up.T @ s.lvp)
+        rm = up.T @ bvm - inv_w[:, None] * (um.T @ s.lvm)
+
+        active = (~s.done) & (jnp.arange(n_max) < n_targ)
+        scale = inv_w * sqrt2
+        rms_new = (jnp.linalg.norm(rp, axis=1)
+                   + jnp.linalg.norm(rm, axis=1)) / (scale * sqrtn)
+        max_new = (jnp.max(jnp.abs(rp), axis=1)
+                   + jnp.max(jnp.abs(rm), axis=1)) / scale
+        rms = jnp.where(active, rms_new, s.rms)
+        rmx = jnp.where(active, max_new, s.rmx)
+
+        conv = (rms < tol_rms) & (rmx < tol_max) & (s.it > 0)
+        done = prefix_lock(s.done, conv, n_targ)
+        ok = jnp.all(jnp.where(jnp.arange(n_max) < n_targ, done, True))
+
+        eig_h = s.eig_h.at[s.it].set(1.0 / inv_w)
+        rms_h = s.rms_h.at[s.it].set(rms)
+        max_h = s.max_h.at[s.it].set(rmx)
+
+        n_frozen = jnp.sum(done, dtype=jnp.int32)
+        n_act_new = (n_max - n_frozen).astype(jnp.int32)
+
+        def expand(_):
+            umask = jnp.arange(n_max) < n_act_new
+            rpb = gather_rows(rp, n_frozen, n_max, count=n_act_new)
+            rmb = gather_rows(rm, n_frozen, n_max, count=n_act_new)
+            yp, ym = lrprec(inv_w[n_frozen], rpb, rmb)
+            yp = jnp.where(umask[:, None], yp, 0.0)
+            ym = jnp.where(umask[:, None], ym, 0.0)
+            yp, _ = b_ortho_vs_x(s.vp, s.lvp, yp, xmask=col_ok, umask=umask)
+            lyp = apbmul(yp)
+            lyp = jnp.where(umask[:, None], lyp, 0.0)
+            yp, lyp = b_ortho(yp, lyp, umask)
+            ym, _ = b_ortho_vs_x(s.vm, s.lvm, ym, xmask=col_ok, umask=umask)
+            lym = ambmul(ym)
+            lym = jnp.where(umask[:, None], lym, 0.0)
+            ym, lym = b_ortho(ym, lym, umask)
+            return (scatter_rows(s.vp, yp, ldu_new),
+                    scatter_rows(s.vm, ym, ldu_new),
+                    scatter_rows(s.lvp, lyp, ldu_new),
+                    scatter_rows(s.lvm, lym, ldu_new),
+                    bvp, bvm, ldu_new, n_act_new, s.m_dim + 1)
+
+        def restart(_):
+            vpn, lvpn = metric_ortho(eigp, apbmul)
+            vmn, lvmn = metric_ortho(eigm, ambmul)
+            z = jnp.zeros_like(s.vp)
+            return (scatter_rows(z, vpn, 0), scatter_rows(z, vmn, 0),
+                    scatter_rows(z, lvpn, 0), scatter_rows(z, lvmn, 0),
+                    z, z,
+                    jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
+                    jnp.asarray(1, jnp.int32))
+
+        def finish(_):
+            return (s.vp, s.vm, s.lvp, s.lvm, bvp, bvm, ldu_new, s.n_act,
+                    s.m_dim)
+
+        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2) = jax.lax.cond(
+            ok, finish,
+            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
+                                   restart, None),
+            None,
+        )
+
+        return _CaslrState(
+            it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
+            bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2,
+            eig=1.0 / inv_w,  # report w (the reference inverts on exit)
+            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok, n_matvec=n_matvec,
+            eig_h=eig_h, rms_h=rms_h, max_h=max_h,
+        )
+
+    z0 = jnp.zeros((lda_pad, n), dtype)
+    init = _CaslrState(
+        it=jnp.asarray(0, jnp.int32),
+        vp=scatter_rows(z0, vp0, 0), vm=scatter_rows(z0, vm0, 0),
+        lvp=scatter_rows(z0, lvp0, 0), lvm=scatter_rows(z0, lvm0, 0),
+        bvp=z0, bvm=z0,
+        ldu=jnp.asarray(0, jnp.int32),
+        n_act=jnp.asarray(n_max, jnp.int32),
+        m_dim=jnp.asarray(1, jnp.int32),
+        eig=jnp.zeros((n_max,), dtype),
+        evec=jnp.zeros((n_max, 2 * n), dtype),
+        done=jnp.zeros((n_max,), bool),
+        rms=jnp.full((n_max,), jnp.inf, dtype),
+        rmx=jnp.full((n_max,), jnp.inf, dtype),
+        ok=jnp.asarray(False),
+        n_matvec=jnp.asarray(2 * n_max, jnp.int32),  # prologue apb/amb
+        eig_h=jnp.zeros((max_iter, n_max), dtype),
+        rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+        max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+    )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return _lr_result(out, options)
