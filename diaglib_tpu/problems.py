@@ -28,6 +28,7 @@ __all__ = [
     "symm_matrix",
     "metric_matrix",
     "casida_blocks",
+    "nonsym_matrix",
     "dense_matvec",
     "diag_precnd",
     "lrprec_eff",
@@ -74,6 +75,31 @@ def casida_blocks(n: int, key, tdscf: bool = False, dtype=jnp.float64):
         apb=apb, amb=amb, sigma=sigma, delta=delta,
         aa=aa, bb=bb, spd=sigma + delta, smd=sigma - delta,
     )
+
+
+def nonsym_matrix(n: int, key, variant: int = 4, dtype=jnp.float64):
+    """Nonsymmetric test matrices (test_nonsym, main.f90:941-1092).
+
+    variant 1: P diag(1..n + 1) P^{-1} with random P (main.f90:951-989);
+    variant 3: plain symmetric (main.f90:1027-1039);
+    variant 4: similarity-transformed symmetric A = e^{-T} S e^{T} with
+      random T scaled to ||T||_F = 0.01 (main.f90:1041-1092, the hardcoded
+      default) — real spectrum equal to eigh(S).
+    """
+    if variant == 3:
+        return symm_matrix(n, dtype)
+    if variant == 1:
+        p = jax.random.uniform(key, (n, n), dtype=dtype)
+        d = jnp.arange(1, n + 1, dtype=dtype) + 1.0
+        return p @ jnp.diag(d) @ jnp.linalg.inv(p)
+    if variant == 4:
+        s = symm_matrix(n, dtype)
+        t = jax.random.uniform(key, (n, n), dtype=dtype)
+        t = t * (0.01 / jnp.linalg.norm(t))
+        expt = jax.scipy.linalg.expm(t)
+        expmt = jax.scipy.linalg.expm(-t)
+        return expmt @ s @ expt
+    raise ValueError(f"unsupported nonsym variant {variant}")
 
 
 def dense_matvec(a):

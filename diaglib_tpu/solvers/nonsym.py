@@ -1,0 +1,431 @@
+"""Two-sided Davidson for real nonsymmetric matrices (TPU-native).
+
+Re-designs the reference's ``nonsym_driver`` (diaglib.f90:2252-2943):
+one-sided Davidson passes (right with A, left with A^T) driven through a
+``side`` selector — 'r', 'l', 's'/'c' (both, consecutively: right pass, then
+left pass seeded from the right eigenvectors, diaglib.f90:2880-2903) — with a
+final ``svd_biortho`` of (evec_l, evec_r).
+
+TPU split of the work: all O(n) linear algebra (matvecs, Gram updates, Ritz
+vectors, residuals, orthogonalization) stays on device inside a
+``lax.while_loop``; the small nonsymmetric reduced eigenproblem — which TPUs
+have no native support for — runs in one ``jax.pure_callback`` to LAPACK
+``dgeev`` on the host (SURVEY.md §7: the reduced matrix is tiny and
+replicated, the host roundtrip is the pragmatic choice).  That callback also
+performs the two serial post-processing steps of the reference:
+
+* ``sort_eigenpairs`` — ascending selection sort on the real parts with
+  complex pairs (|wi| > 1e-12) parked at the array tail
+  (diaglib.f90:2945-3017);
+* root homing — overlaps of previous vs current reduced eigenvectors build a
+  max-overlap permutation with tie-breaking fallbacks
+  (diaglib.f90:2539-2696).  The reference's bookkeeping arrays are indexed
+  past their declared first dimension (e.g. ``overlap_idx_r(j,1)`` with
+  ``j > 2`` on a (2,n_max) array, diaglib.f90:2550-2565) — storage aliasing
+  that scrambles the tie-break data; this rebuild implements the *intended*
+  logic with correctly shaped arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ortho.core import ortho_cd, ortho_vs_x
+from ..types import NonsymResult, SolverOptions
+from ..utils.guess import check_guess
+from ..utils.masking import gather_rows, prefix_lock, prefix_mask, scatter_rows
+
+__all__ = ["nonsym"]
+
+_TOL_IM = 1.0e-12
+
+
+def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max):
+    """dgeev + sort + root homing on the host (numpy), static shapes.
+
+    a_red: (L, L) with the leading ldu x ldu block valid (G[i,j] = s_i.A s_j).
+    Returns wr (L,), vr (L, L), vl (L, L), found_im flag; columns sorted
+    ascending by real part over the leading ``n_sort`` slots with complex
+    pairs parked at the tail of the valid block, then permuted by maximum
+    overlap with the previous reduced eigenvectors (copy_r/copy_l, zero
+    padded (L, 2*n_max)).
+    """
+    import scipy.linalg
+
+    L = a_red.shape[0]
+    ldu = int(ldu)
+    n_sort = min(int(n_sort), ldu)
+    m2 = 2 * n_max
+    a = np.asarray(a_red[:ldu, :ldu], dtype=np.float64)
+    wr_s, wi_s, vl_s, vr_s, info = scipy.linalg.lapack.dgeev(
+        a, compute_vl=1, compute_vr=1
+    )
+    if info != 0:  # pragma: no cover - matches the reference's hard stop
+        raise RuntimeError(f"dgeev failed, info={info}")
+    wr = wr_s.copy()
+    wi = wi_s.copy()
+    vr = vr_s.copy()
+    vl = vl_s.copy()
+
+    def swap(i, j):
+        if i == j:
+            return
+        wr[[i, j]] = wr[[j, i]]
+        wi[[i, j]] = wi[[j, i]]
+        vr[:, [i, j]] = vr[:, [j, i]]
+        vl[:, [i, j]] = vl[:, [j, i]]
+
+    # selection sort with complex parking (sort_eigenpairs semantics)
+    mask = np.ones(ldu, dtype=bool)
+    for i in range(n_sort):
+        cand = np.where(mask, wr, np.inf)
+        idx = int(np.argmin(cand))
+        if abs(wi[idx]) > _TOL_IM:
+            fin = ldu - 1
+            while fin >= 0 and not mask[fin]:
+                fin -= 1
+            mask[fin] = False
+            swap(fin, idx)
+            cand = np.where(mask, wr, np.inf)
+            idx = int(np.argmin(cand))
+        mask[i] = False
+        swap(i, idx)
+
+    found_im = bool(np.any(np.abs(wi[:n_max]) > _TOL_IM))
+
+    if do_homing:
+        vr_pad = np.zeros((ldu, m2))
+        vl_pad = np.zeros((ldu, m2))
+        ncols = min(m2, ldu)
+        vr_pad[:, :ncols] = vr[:, :ncols]
+        vl_pad[:, :ncols] = vl[:, :ncols]
+        ov_r = np.asarray(copy_r)[:ldu, :].T @ vr_pad  # (m2, m2)
+        ov_l = np.asarray(copy_l)[:ldu, :].T @ vl_pad
+
+        def pick(ov):
+            first_idx = np.zeros(n_max, dtype=int)
+            first_val = np.zeros(n_max)
+            second_idx = np.zeros(n_max, dtype=int)
+            second_val = np.zeros(n_max)
+            moved = False
+            for j in range(n_max):
+                col = np.abs(ov[:, j])
+                k1 = int(np.argmax(col))
+                first_idx[j], first_val[j] = k1, ov[k1, j]
+                if k1 != j:
+                    moved = True
+                col2 = col.copy()
+                col2[k1] = -np.inf
+                k2 = int(np.argmax(col2))
+                second_idx[j], second_val[j] = k2, ov[k2, j]
+            return first_idx, first_val, second_idx, second_val, moved
+
+        idx_r, val_r, idx2_r, val2_r, mv_r = pick(ov_r)
+        idx_l, val_l, _, _, mv_l = pick(ov_l)
+        found_er = mv_r or mv_l
+
+        def has_double(idx):
+            return len(np.unique(idx)) != len(idx)
+
+        double_r, double_l = has_double(idx_r), has_double(idx_l)
+        if double_r and not double_l:
+            idx_r = idx_l.copy()
+        elif double_l and not double_r:
+            idx_l = idx_r.copy()
+        elif double_r and double_l:
+            # resolve collisions on the right side via second-best overlaps
+            for j in range(n_max):
+                for k in range(n_max):
+                    if k != j and idx_r[j] == idx_r[k]:
+                        if val2_r[j] > val2_r[k]:
+                            idx_r[j] = idx2_r[j]
+                        else:
+                            idx_r[k] = idx2_r[k]
+            if has_double(idx_r):
+                idx_r = np.arange(n_max)
+                idx_l = np.arange(n_max)
+            else:
+                idx_l = idx_r.copy()
+
+        if np.any(idx_r != idx_l):
+            if np.sum(val_r) > np.sum(val_l):
+                idx_l = idx_r.copy()
+            else:
+                idx_r = idx_l.copy()
+
+        if found_er:
+            valid = idx_r < ldu
+            perm = np.where(valid, idx_r, np.arange(n_max))
+            wr[:n_max] = wr[perm]
+            wi[:n_max] = wi[perm]
+            vr[:, :n_max] = vr[:, perm]
+            vl[:, :n_max] = vl[:, perm]
+
+    wr_out = np.zeros(L)
+    vr_out = np.zeros((L, L))
+    vl_out = np.zeros((L, L))
+    wr_out[:ldu] = wr
+    vr_out[:ldu, :ldu] = vr
+    vl_out[:ldu, :ldu] = vl
+    return (
+        wr_out.astype(np.float64),
+        vr_out.astype(np.float64),
+        vl_out.astype(np.float64),
+        np.bool_(found_im),
+    )
+
+
+class _NonsymState(NamedTuple):
+    it: jax.Array
+    space: jax.Array     # (lda_pad, n) expansion rows
+    aspace: jax.Array    # op @ space rows
+    ldu: jax.Array
+    n_act: jax.Array
+    m_dim: jax.Array
+    fresh: jax.Array     # True on the first iteration and right after restart
+    copy_r: jax.Array    # (lda_pad, 2*n_max) previous reduced right vectors
+    copy_l: jax.Array
+    eig: jax.Array
+    evec: jax.Array
+    done: jax.Array
+    rms: jax.Array
+    rmx: jax.Array
+    found_im: jax.Array
+    ok: jax.Array
+    n_matvec: jax.Array
+    eig_h: jax.Array
+    rms_h: jax.Array
+    max_h: jax.Array
+
+
+def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
+                 key):
+    """One one-sided Davidson pass.
+
+    ``op`` is A for the right pass and A^T for the left pass; ``use_left``
+    selects which set of reduced eigenvectors drives the Ritz vectors and
+    residuals (VL for the left pass, diaglib.f90:2712, 2717).
+    """
+    n_targ, n_max = options.n_targ, options.n_max
+    lda = options.dim_dav * n_max
+    lda_pad = lda + n_max
+    max_iter = options.max_iter
+    n = guess.shape[1]
+    dtype = guess.dtype
+    sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
+    tol_rms = jnp.asarray(options.tol, dtype)
+    tol_max = jnp.asarray(options.tol_max, dtype)
+
+    guess = check_guess(guess, key)
+
+    host = functools.partial(_host_reduced_eig, n_max=n_max)
+    out_spec = (
+        jax.ShapeDtypeStruct((lda_pad,), jnp.float64),
+        jax.ShapeDtypeStruct((lda_pad, lda_pad), jnp.float64),
+        jax.ShapeDtypeStruct((lda_pad, lda_pad), jnp.float64),
+        jax.ShapeDtypeStruct((), jnp.bool_),
+    )
+
+    def cond(s: _NonsymState):
+        return (~s.ok) & (s.it < max_iter)
+
+    def body(s: _NonsymState):
+        ldu_new = s.ldu + s.n_act
+        amask = jnp.arange(n_max) < s.n_act
+        blk = gather_rows(s.space, s.ldu, n_max, count=s.n_act)
+        ablk = op(blk)
+        ablk = jnp.where(amask[:, None], ablk, 0.0)
+        aspace = scatter_rows(s.aspace, ablk, s.ldu)
+        n_matvec = s.n_matvec + s.n_act
+
+        col_ok = prefix_mask(lda_pad, ldu_new)
+        outer = col_ok[:, None] & col_ok[None, :]
+        # right pass: G[i,j] = s_i . (A s_j); left pass: G[i,j] = l_i^T A l_j
+        # = (A^T l_i) . l_j (diaglib.f90:2488-2494) — both reduce A in the
+        # current basis
+        if use_left:
+            g = aspace @ s.space.T
+        else:
+            g = s.space @ aspace.T
+        g = jnp.where(outer, g, 0.0)
+
+        n_sort = jnp.where(s.fresh, n_max, n_max + s.n_act)
+        do_homing = (~s.fresh)
+        wr, vr, vl, found_im = jax.pure_callback(
+            host, out_spec, g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l,
+            vmap_method="sequential",
+        )
+
+        eig = wr[:n_max]
+        cr = vr[:, :n_max]
+        cl = vl[:, :n_max]
+        c_use = cl if use_left else cr
+
+        evec = c_use.T @ s.space
+        r = c_use.T @ aspace - eig[:, None] * evec
+
+        active = (~s.done) & (jnp.arange(n_max) < n_targ)
+        rms = jnp.where(active, jnp.linalg.norm(r, axis=1) / sqrtn, s.rms)
+        rmx = jnp.where(active, jnp.max(jnp.abs(r), axis=1), s.rmx)
+
+        conv = (rms < tol_rms) & (rmx < tol_max) & (s.it > 0)
+        done = prefix_lock(s.done, conv, n_targ)
+        ok = jnp.all(jnp.where(jnp.arange(n_max) < n_targ, done, True))
+
+        eig_h = s.eig_h.at[s.it].set(eig - options.shift)
+        rms_h = s.rms_h.at[s.it].set(rms)
+        max_h = s.max_h.at[s.it].set(rmx)
+
+        copy_r = jnp.zeros((lda_pad, 2 * n_max), dtype).at[:, : 2 * n_max].set(
+            vr[:, : 2 * n_max])
+        copy_l = jnp.zeros((lda_pad, 2 * n_max), dtype).at[:, : 2 * n_max].set(
+            vl[:, : 2 * n_max])
+
+        n_frozen = jnp.sum(done, dtype=jnp.int32)
+        n_act_new = (n_max - n_frozen).astype(jnp.int32)
+
+        def expand(_):
+            umask = jnp.arange(n_max) < n_act_new
+            rblk = gather_rows(r, n_frozen, n_max, count=n_act_new)
+            pre = precnd(-eig[n_frozen], rblk)
+            pre = jnp.where(umask[:, None], pre, 0.0)
+            unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+            return (scatter_rows(s.space, unew, ldu_new), aspace,
+                    ldu_new, n_act_new, s.m_dim + 1, jnp.asarray(False))
+
+        def restart(_):
+            ev, _, _ = ortho_cd(evec)
+            z = jnp.zeros_like(s.space)
+            return (scatter_rows(z, ev, 0), jnp.zeros_like(aspace),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
+                    jnp.asarray(1, jnp.int32), jnp.asarray(True))
+
+        def finish(_):
+            return (s.space, aspace, ldu_new, s.n_act, s.m_dim,
+                    jnp.asarray(False))
+
+        space2, aspace2, ldu2, n_act2, m_dim2, fresh2 = jax.lax.cond(
+            ok, finish,
+            lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
+                                   restart, None),
+            None,
+        )
+
+        return _NonsymState(
+            it=s.it + 1, space=space2, aspace=aspace2, ldu=ldu2,
+            n_act=n_act2, m_dim=m_dim2, fresh=fresh2,
+            copy_r=copy_r, copy_l=copy_l,
+            eig=eig, evec=evec, done=done, rms=rms, rmx=rmx,
+            found_im=s.found_im | found_im, ok=ok, n_matvec=n_matvec,
+            eig_h=eig_h, rms_h=rms_h, max_h=max_h,
+        )
+
+    z = jnp.zeros((lda_pad, n), dtype)
+    init = _NonsymState(
+        it=jnp.asarray(0, jnp.int32),
+        space=scatter_rows(z, guess, 0),
+        aspace=z,
+        ldu=jnp.asarray(0, jnp.int32),
+        n_act=jnp.asarray(n_max, jnp.int32),
+        m_dim=jnp.asarray(1, jnp.int32),
+        fresh=jnp.asarray(True),
+        copy_r=jnp.zeros((lda_pad, 2 * n_max), dtype),
+        copy_l=jnp.zeros((lda_pad, 2 * n_max), dtype),
+        eig=jnp.zeros((n_max,), dtype),
+        evec=jnp.zeros((n_max, n), dtype),
+        done=jnp.zeros((n_max,), bool),
+        rms=jnp.full((n_max,), jnp.inf, dtype),
+        rmx=jnp.full((n_max,), jnp.inf, dtype),
+        found_im=jnp.asarray(False),
+        ok=jnp.asarray(False),
+        n_matvec=jnp.asarray(0, jnp.int32),
+        eig_h=jnp.zeros((max_iter, n_max), dtype),
+        rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+        max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
+           side: str = "c", *, key=None):
+    """Two-sided Davidson for a real nonsymmetric matrix.
+
+    Args:
+      matvec: A applied to row vectors; matvec_l: A^T applied to row vectors
+        (only needed for sides 'l', 's', 'c').
+      precnd: ``(shift, block) -> block`` like the symmetric drivers.
+      evec_guess: (n_max, n) guess rows (right guess; the left pass is
+        seeded from the converged right eigenvectors, diaglib.f90:2892-2901).
+      side: 'r' right only, 'l' left only, 's'/'c' both consecutively (the
+        reference demotes 's' to consecutive, diaglib.f90:2398-2406).
+
+    Returns NonsymResult.  For 'c'/'s', ``ok`` additionally requires the
+    left-pass eigenvalues to match the right-pass ones within tol
+    (diaglib.f90:2887-2890 stops; here it is reported, not fatal), and
+    (evec_l, evec_r) are svd-biorthonormalized (diaglib.f90:2908-2914).
+    """
+    if side not in ("r", "l", "s", "c"):
+        raise ValueError("side must be one of 'r', 'l', 's', 'c'")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kr, kl = jax.random.split(key)
+    evec_guess = jnp.asarray(evec_guess)
+    n = evec_guess.shape[1]
+    n_max = options.n_max
+    dtype = evec_guess.dtype
+
+    if side == "r" or side == "l":
+        op = matvec if side == "r" else matvec_l
+        out = _nonsym_pass(op, precnd, evec_guess, options,
+                           use_left=(side == "l"), key=kr)
+        zero_v = jnp.zeros((n_max, n), dtype)
+        zero_h = jnp.zeros_like(out.rms_h)
+        is_r = side == "r"
+        return NonsymResult(
+            eig=out.eig - options.shift,
+            evec_r=out.evec if is_r else zero_v,
+            evec_l=zero_v if is_r else out.evec,
+            ok=out.ok, n_iter=out.it, n_matvec=out.n_matvec, done=out.done,
+            rms_history_r=out.rms_h if is_r else zero_h,
+            max_history_r=out.max_h if is_r else zero_h,
+            rms_history_l=zero_h if is_r else out.rms_h,
+            max_history_l=zero_h if is_r else out.max_h,
+            eig_history=out.eig_h,
+        )
+
+    # consecutive: right pass, then left pass seeded from evec_r
+    out_r = _nonsym_pass(matvec, precnd, evec_guess, options,
+                         use_left=False, key=kr)
+    guess_l, _, _ = ortho_cd(out_r.evec)
+    out_l = _nonsym_pass(matvec_l, precnd, guess_l, options,
+                         use_left=True, key=kl)
+
+    targ = jnp.arange(n_max) < options.n_targ
+    eig_match = jnp.max(jnp.where(targ, out_r.eig - out_l.eig, 0.0)) <= options.tol
+    ok = out_r.ok & out_l.ok & eig_match
+    # Final biorthonormalization.  The reference calls svd_biortho here
+    # (diaglib.f90:2908-2914), but the overlap of *converged* eigenpairs is
+    # already near +/-identity, so its singular values are degenerate and the
+    # SVD rotates arbitrarily inside the cluster — scrambling the
+    # eigenvalue<->vector pairing.  The pairing-preserving equivalent is a
+    # solve: evec_l <- O^{-1} evec_l gives evec_l @ evec_r^T = I exactly
+    # while perturbing each vector only at the size of its residual.
+    overlap = out_l.evec @ out_r.evec.T
+    evec_l = jnp.linalg.solve(overlap, out_l.evec)
+    evec_r = out_r.evec
+
+    return NonsymResult(
+        eig=out_l.eig - options.shift,
+        evec_r=evec_r, evec_l=evec_l, ok=ok,
+        n_iter=out_r.it + out_l.it,
+        n_matvec=out_r.n_matvec + out_l.n_matvec,
+        done=out_l.done,
+        rms_history_r=out_r.rms_h, max_history_r=out_r.max_h,
+        rms_history_l=out_l.rms_h, max_history_l=out_l.max_h,
+        eig_history=out_l.eig_h,
+    )

@@ -1,0 +1,107 @@
+"""Two-sided nonsymmetric Davidson tests (test_nonsym protocol,
+main.f90:910-1178: similarity-transformed symmetric matrix, side='c')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from diaglib_tpu import SolverOptions
+from diaglib_tpu.problems import dense_matvec, diag_precnd, nonsym_matrix
+from diaglib_tpu.solvers import nonsym
+from diaglib_tpu.utils.guess import guess_evec
+
+N = 200
+N_WANT = 5
+TOL = 1e-8
+
+
+@pytest.fixture(scope="module")
+def problem():
+    a = nonsym_matrix(N, jax.random.PRNGKey(1), variant=4)
+    w, vl, vr = scipy.linalg.eig(np.asarray(a), left=True, right=True)
+    order = np.argsort(w.real)
+    w = w[order].real
+    vr = vr[:, order].real
+    vl = vl[:, order].real
+    return a, jnp.asarray(w), vr, vl
+
+
+def _guess(a, n_rows, key=7):
+    diag = jnp.diagonal(a)
+    return guess_evec(6, jax.random.PRNGKey(key), N, n_rows, diagonal=diag)
+
+
+def test_nonsym_right_only(problem):
+    a, w, vr, _ = problem
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_WANT, max_iter=200, tol=TOL,
+                         max_dav=10)
+    res = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(jnp.diagonal(a)),
+                 _guess(a, N_WANT), opts, side="r", key=jax.random.PRNGKey(2))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:N_WANT]),
+                               np.asarray(w[:N_WANT]), rtol=0, atol=1e-7)
+    for i in range(N_WANT):
+        v = np.asarray(res.evec_r[i])
+        overlap = abs(v @ vr[:, i]) / np.linalg.norm(v) / np.linalg.norm(vr[:, i])
+        assert overlap > 1 - 1e-6
+
+
+def test_nonsym_left_only(problem):
+    a, w, _, vl = problem
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_WANT, max_iter=200, tol=TOL,
+                         max_dav=10)
+    res = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(jnp.diagonal(a)),
+                 _guess(a, N_WANT), opts, side="l", key=jax.random.PRNGKey(2))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:N_WANT]),
+                               np.asarray(w[:N_WANT]), rtol=0, atol=1e-7)
+    for i in range(N_WANT):
+        v = np.asarray(res.evec_l[i])
+        overlap = abs(v @ vl[:, i]) / np.linalg.norm(v) / np.linalg.norm(vl[:, i])
+        assert overlap > 1 - 1e-6
+
+
+def test_nonsym_consecutive(problem):
+    """side='c': right pass, left pass, eigenvalue cross-check, final
+    svd_biortho so that evec_l @ evec_r^T = I."""
+    a, w, _, _ = problem
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_WANT, max_iter=200, tol=TOL,
+                         max_dav=10)
+    res = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(jnp.diagonal(a)),
+                 _guess(a, N_WANT), opts, side="c", key=jax.random.PRNGKey(2))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:N_WANT]),
+                               np.asarray(w[:N_WANT]), rtol=0, atol=1e-7)
+    # biorthonormality after svd_biortho
+    g = res.evec_l @ res.evec_r.T
+    np.testing.assert_allclose(np.asarray(g), np.eye(N_WANT), atol=1e-8)
+    # residuals on both sides
+    for i in range(N_WANT):
+        rr = a @ res.evec_r[i] - res.eig[i] * res.evec_r[i]
+        rl = a.T @ res.evec_l[i] - res.eig[i] * res.evec_l[i]
+        nr = float(jnp.linalg.norm(rr)) / float(jnp.linalg.norm(res.evec_r[i]))
+        nl = float(jnp.linalg.norm(rl)) / float(jnp.linalg.norm(res.evec_l[i]))
+        assert nr < 1e-6 and nl < 1e-6
+
+
+def test_nonsym_symmetric_variant(problem):
+    """variant 3 (plain symmetric) must agree with eigh."""
+    a3 = nonsym_matrix(N, jax.random.PRNGKey(0), variant=3)
+    w = jnp.linalg.eigh(a3)[0]
+    opts = SolverOptions(n_targ=4, n_max=4, max_iter=200, tol=TOL, max_dav=10)
+    res = nonsym(dense_matvec(a3), dense_matvec(a3.T),
+                 diag_precnd(jnp.diagonal(a3)), _guess(a3, 4), opts,
+                 side="r", key=jax.random.PRNGKey(4))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:4]), np.asarray(w[:4]),
+                               rtol=0, atol=1e-7)
+
+
+def test_nonsym_bad_side(problem):
+    a, _, _, _ = problem
+    opts = SolverOptions(n_targ=2, n_max=2)
+    with pytest.raises(ValueError):
+        nonsym(dense_matvec(a), dense_matvec(a.T),
+               diag_precnd(jnp.diagonal(a)), _guess(a, 2), opts, side="x")
