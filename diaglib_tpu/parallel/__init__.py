@@ -1,0 +1,12 @@
+"""Distributed execution layer (new capability vs the serial reference).
+
+The reference is single-process Fortran (SURVEY.md §2.5).  Here the scalable
+dimension is the vector length n: every (k, n) block — expansion space,
+operator products, residuals — is sharded along n over a 1-D device mesh,
+Gram/Rayleigh-Ritz contractions become psum-style collectives inserted by
+XLA's SPMD partitioner, and the small reduced problems stay replicated.
+"""
+
+from .sharding import VectorSharding, make_mesh
+
+__all__ = ["VectorSharding", "make_mesh"]

@@ -37,9 +37,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
-
 from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_cd, ortho_vs_x
+from ..utils import reduced
 from ..types import LRSolverResult, SolverOptions
 from ..utils.masking import (
     gather_rows,
@@ -89,7 +88,7 @@ def _pad_zero(a, mask):
     return jnp.where(outer, a, 0.0)
 
 
-def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max):
+def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max, method):
     """algorithm=0 reduced solve (diaglib.f90:773-803).
 
     Solve the 2L-dimensional pencil  S_red x = e A_red x  with
@@ -104,11 +103,7 @@ def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max):
     zero = jnp.zeros_like(ep)
     a_red = jnp.block([[ep, zero], [zero, em]])
     s_red = jnp.block([[zero, sz.T], [sz, zero]])
-    lo = jnp.linalg.cholesky(a_red)
-    tmp = solve_triangular(lo, s_red, lower=True)
-    std = solve_triangular(lo, tmp.T, lower=True)  # L^-1 S L^-T (symmetric)
-    e, y = jnp.linalg.eigh(0.5 * (std + std.T))
-    x = solve_triangular(lo, y, lower=True, trans=1)
+    e, x = reduced.eigh_gen(s_red, a_red, method)
     # pencil eigenvalues come in +/- pairs; pads sit at 0, so the n_max
     # largest genuine ones are the trailing entries
     e_top = e[::-1][:n_max]
@@ -117,7 +112,7 @@ def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max):
     return eig, x_top[:L], x_top[L:]
 
 
-def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max):
+def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
     """algorithm=1 reduced solve (diaglib.f90:805-872).
 
     SVD smat = U1 S1 V1^T; scale by S1^{-1/2}; project ep/em; Cholesky both;
@@ -127,7 +122,7 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max):
     """
     dtype = smat.dtype
     sz = _pad_eye(smat, mask)
-    u1, s1, vt1 = masked_svd(sz, mask)
+    u1, s1, vt1 = masked_svd(sz, mask, method)
     inv_sqrt = 1.0 / jnp.sqrt(s1)
     u1s = u1 * inv_sqrt[None, :]      # columns scaled (diaglib.f90:818)
     vt1s = vt1 * inv_sqrt[:, None]    # rows scaled   (diaglib.f90:819)
@@ -136,10 +131,10 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max):
     em = _pad_eye(0.5 * (emmat + emmat.T), mask)
     ept = vt1s @ ep @ vt1s.T
     emt = u1s.T @ em @ u1s
-    lp = jnp.linalg.cholesky(0.5 * (ept + ept.T))
-    lm = jnp.linalg.cholesky(0.5 * (emt + emt.T))
+    lp = reduced.cholesky(0.5 * (ept + ept.T), method)
+    lm = reduced.cholesky(0.5 * (emt + emt.T), method)
     cmat = lm.T @ lp
-    u2, s2, vt2 = masked_svd(cmat, mask)
+    u2, s2, vt2 = masked_svd(cmat, mask, method)
 
     # genuine singular values occupy the leading ldu slots in descending
     # order; the reference reads them from the bottom (smallest first)
@@ -185,7 +180,8 @@ def _lr_result(out, options):
 
 
 def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
-          options: SolverOptions, *, algorithm: int = 0, key=None):
+          options: SolverOptions, *, algorithm: int = 0, key=None,
+          sharding=None):
     """Casida LR solver with plain-orthonormal expansion spaces
     (caslr_driver, diaglib.f90:558-1022).
 
@@ -197,6 +193,9 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
     """
     if algorithm not in (0, 1):
         raise ValueError("algorithm must be 0 or 1")
+    from ..parallel.sharding import constrainers
+
+    vec, _ = constrainers(sharding)
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
@@ -238,11 +237,12 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         smat = s.vm @ bvm.T
 
         if algorithm == 0:
-            eig, up, um = _reduced_inverse_pencil(epmat, emmat, smat,
-                                                  col_ok, n_max)
+            eig, up, um = _reduced_inverse_pencil(
+                epmat, emmat, smat, col_ok, n_max, options.reduced_solver)
         else:
-            eig, up, um = _reduced_helmich_paris(epmat, emmat, smat,
-                                                 col_ok, ldu_new, n_max)
+            eig, up, um = _reduced_helmich_paris(
+                epmat, emmat, smat, col_ok, ldu_new, n_max,
+                options.reduced_solver)
 
         eigp = up.T @ s.vp
         eigm = um.T @ s.vm
@@ -309,16 +309,16 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
-    z0 = jnp.zeros((lda_pad, n), dtype)
+    z0 = vec(jnp.zeros((lda_pad, n), dtype))
     init = _CaslrState(
         it=jnp.asarray(0, jnp.int32),
-        vp=scatter_rows(z0, vp0, 0), vm=scatter_rows(z0, vm0, 0),
+        vp=vec(scatter_rows(z0, vp0, 0)), vm=vec(scatter_rows(z0, vm0, 0)),
         lvp=z0, lvm=z0, bvp=z0, bvm=z0,
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
         m_dim=jnp.asarray(1, jnp.int32),
         eig=jnp.zeros((n_max,), dtype),
-        evec=jnp.zeros((n_max, 2 * n), dtype),
+        evec=vec(jnp.zeros((n_max, 2 * n), dtype)),
         done=jnp.zeros((n_max,), bool),
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
@@ -334,7 +334,7 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
 
 
 def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
-              options: SolverOptions, *, key=None):
+              options: SolverOptions, *, key=None, sharding=None):
     """Efficient Casida solver with (A±B)-orthonormal expansion vectors
     (caslr_eff_driver, diaglib.f90:1024-1481).
 
@@ -342,6 +342,9 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
     only spdmul/smdmul run in the loop, apbmul/ambmul only when expanding.
     ``lrprec`` is called with the internal 1/w (diaglib.f90:1406-1407).
     """
+    from ..parallel.sharding import constrainers
+
+    vec, _ = constrainers(sharding)
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
@@ -390,7 +393,7 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         # diaglib.f90:1309-1312)
         pad = -(jnp.max(jnp.sum(jnp.abs(sts), axis=1)) + 1.0)
         sts = sts + jnp.diag(jnp.where(col_ok, 0.0, pad))
-        e_red, c_full = jnp.linalg.eigh(sts)
+        e_red, c_full = reduced.eigh(sts, options.reduced_solver)
         inv_w = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # eig = 1/w, descending
         up = c_full[:, ::-1][:, :n_max]
         um = (smat @ up) / inv_w[None, :]
@@ -472,17 +475,17 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
-    z0 = jnp.zeros((lda_pad, n), dtype)
+    z0 = vec(jnp.zeros((lda_pad, n), dtype))
     init = _CaslrState(
         it=jnp.asarray(0, jnp.int32),
-        vp=scatter_rows(z0, vp0, 0), vm=scatter_rows(z0, vm0, 0),
-        lvp=scatter_rows(z0, lvp0, 0), lvm=scatter_rows(z0, lvm0, 0),
+        vp=vec(scatter_rows(z0, vp0, 0)), vm=vec(scatter_rows(z0, vm0, 0)),
+        lvp=vec(scatter_rows(z0, lvp0, 0)), lvm=vec(scatter_rows(z0, lvm0, 0)),
         bvp=z0, bvm=z0,
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
         m_dim=jnp.asarray(1, jnp.int32),
         eig=jnp.zeros((n_max,), dtype),
-        evec=jnp.zeros((n_max, 2 * n), dtype),
+        evec=vec(jnp.zeros((n_max, 2 * n), dtype)),
         done=jnp.zeros((n_max,), bool),
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),

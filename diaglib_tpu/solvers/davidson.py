@@ -79,7 +79,10 @@ class _DavidsonState(NamedTuple):
 
 
 def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
-                   key):
+                   key, sharding=None):
+    from ..parallel.sharding import constrainers
+
+    vec, rep = constrainers(sharding)
     gen_eig = bvec is not None
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
@@ -129,7 +132,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         a_red = scatter_rows(s.a_red, new_rows, start)
 
         sym = jnp.tril(a_red) + jnp.tril(a_red, -1).T
-        e_red, c_full = masked_eigh(sym, col_ok)
+        e_red, c_full = masked_eigh(sym, col_ok, method=options.reduced_solver)
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 
@@ -228,20 +231,20 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             n_matvec=n_matvec, eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
-    space0 = scatter_rows(jnp.zeros((lda_pad, n), dtype), guess, 0)
-    bspace0 = scatter_rows(jnp.zeros((lda_pad, n), dtype), bguess, 0)
+    space0 = vec(scatter_rows(jnp.zeros((lda_pad, n), dtype), guess, 0))
+    bspace0 = vec(scatter_rows(jnp.zeros((lda_pad, n), dtype), bguess, 0))
     init = _DavidsonState(
         it=jnp.asarray(0, jnp.int32),
         space=space0,
-        aspace=jnp.zeros((lda_pad, n), dtype),
+        aspace=vec(jnp.zeros((lda_pad, n), dtype)),
         bspace=bspace0,
-        a_red=jnp.zeros((lda_pad, lda_pad), dtype),
+        a_red=rep(jnp.zeros((lda_pad, lda_pad), dtype)),
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
         n_rst=jnp.asarray(0, jnp.int32),
         m_dim=jnp.asarray(1, jnp.int32),
         eig=jnp.zeros((n_max,), dtype),
-        evec=jnp.zeros((n_max, n), dtype),
+        evec=vec(jnp.zeros((n_max, n), dtype)),
         done=jnp.zeros((n_max,), bool),
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
@@ -266,7 +269,8 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
     )
 
 
-def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
+def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None,
+             sharding=None):
     """Compute the lowest eigenpairs of a symmetric operator.
 
     Args:
@@ -280,12 +284,15 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None):
 
     Returns a SolverResult; ``eig``/``evec`` hold the n_max Ritz pairs
     (shift removed from eig like the reference's printout, diaglib.f90:1752).
+    ``sharding``: optional parallel.VectorSharding distributing the n axis
+    over a device mesh.
     """
-    return _davidson_impl(matvec, precnd, None, evec_guess, options, key)
+    return _davidson_impl(matvec, precnd, None, evec_guess, options, key,
+                          sharding)
 
 
 def gen_david(matvec, precnd, bvec, evec_guess, options: SolverOptions, *,
-              key=None):
+              key=None, sharding=None):
     """Generalized Davidson for A x = λ B x with B-orthonormal expansion
     space (gen_david_driver, diaglib.f90:1855-2250).
 
@@ -293,4 +300,5 @@ def gen_david(matvec, precnd, bvec, evec_guess, options: SolverOptions, *,
     stays a standard symmetric eigenproblem because the space is kept
     B-orthonormal (diaglib.f90:2098).
     """
-    return _davidson_impl(matvec, precnd, bvec, evec_guess, options, key)
+    return _davidson_impl(matvec, precnd, bvec, evec_guess, options, key,
+                          sharding)

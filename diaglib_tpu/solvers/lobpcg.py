@@ -62,7 +62,7 @@ class _LobpcgState(NamedTuple):
 
 
 def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
-           bvec=None, key=None):
+           bvec=None, key=None, sharding=None):
     """Locally-optimal block preconditioned CG for A x = λ x (or λ B x).
 
     Args:
@@ -74,7 +74,11 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
       bvec: metric apply for the generalized problem (``gen_eig`` in the
         reference is ``bvec is not None`` here).
       key: PRNG key for the random-guess fallback.
+      sharding: optional parallel.VectorSharding distributing n over a mesh.
     """
+    from ..parallel.sharding import constrainers
+
+    vec, rep = constrainers(sharding)
     gen_eig = bvec is not None
     n_targ, n_max = options.n_targ, options.n_max
     max_iter = options.max_iter
@@ -141,9 +145,9 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         eig0[0], pv0,
     )
 
-    space0 = jnp.concatenate([x, jnp.zeros((n_max, n), dtype), w0])
-    aspace0 = jnp.concatenate([ax, jnp.zeros((2 * n_max, n), dtype)])
-    bspace0 = jnp.concatenate([bx, jnp.zeros((n_max, n), dtype), bw0])
+    space0 = vec(jnp.concatenate([x, jnp.zeros((n_max, n), dtype), w0]))
+    aspace0 = vec(jnp.concatenate([ax, jnp.zeros((2 * n_max, n), dtype)]))
+    bspace0 = vec(jnp.concatenate([bx, jnp.zeros((n_max, n), dtype), bw0]))
 
     def cond(s: _LobpcgState):
         return (~s.ok) & (s.it < max_iter)
@@ -159,7 +163,8 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
 
         mask = jnp.concatenate([jnp.ones((n_max,), bool), p_valid, w_mask])
         g = s.space @ aspace.T
-        e_red, c_full = masked_eigh(0.5 * (g + g.T), mask)
+        e_red, c_full = masked_eigh(0.5 * (g + g.T), mask,
+                                    method=options.reduced_solver)
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (3*n_max, n_max)
 
@@ -227,7 +232,7 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         space=space0, aspace=aspace0, bspace=bspace0,
         n_act=jnp.asarray(n_max, jnp.int32),
         p_count=jnp.asarray(0, jnp.int32),
-        eig=eig0, evec=x, done=jnp.zeros((n_max,), bool),
+        eig=eig0, evec=vec(x), done=jnp.zeros((n_max,), bool),
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),

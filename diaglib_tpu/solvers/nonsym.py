@@ -204,13 +204,16 @@ class _NonsymState(NamedTuple):
 
 
 def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
-                 key):
+                 key, sharding=None):
     """One one-sided Davidson pass.
 
     ``op`` is A for the right pass and A^T for the left pass; ``use_left``
     selects which set of reduced eigenvectors drives the Ritz vectors and
     residuals (VL for the left pass, diaglib.f90:2712, 2717).
     """
+    from ..parallel.sharding import constrainers
+
+    vec, _ = constrainers(sharding)
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
@@ -325,10 +328,10 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
-    z = jnp.zeros((lda_pad, n), dtype)
+    z = vec(jnp.zeros((lda_pad, n), dtype))
     init = _NonsymState(
         it=jnp.asarray(0, jnp.int32),
-        space=scatter_rows(z, guess, 0),
+        space=vec(scatter_rows(z, guess, 0)),
         aspace=z,
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
@@ -337,7 +340,7 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         copy_r=jnp.zeros((lda_pad, 2 * n_max), dtype),
         copy_l=jnp.zeros((lda_pad, 2 * n_max), dtype),
         eig=jnp.zeros((n_max,), dtype),
-        evec=jnp.zeros((n_max, n), dtype),
+        evec=vec(jnp.zeros((n_max, n), dtype)),
         done=jnp.zeros((n_max,), bool),
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
@@ -352,7 +355,7 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
 
 
 def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
-           side: str = "c", *, key=None):
+           side: str = "c", *, key=None, sharding=None):
     """Two-sided Davidson for a real nonsymmetric matrix.
 
     Args:
@@ -382,7 +385,7 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
     if side == "r" or side == "l":
         op = matvec if side == "r" else matvec_l
         out = _nonsym_pass(op, precnd, evec_guess, options,
-                           use_left=(side == "l"), key=kr)
+                           use_left=(side == "l"), key=kr, sharding=sharding)
         zero_v = jnp.zeros((n_max, n), dtype)
         zero_h = jnp.zeros_like(out.rms_h)
         is_r = side == "r"
@@ -400,10 +403,10 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
 
     # consecutive: right pass, then left pass seeded from evec_r
     out_r = _nonsym_pass(matvec, precnd, evec_guess, options,
-                         use_left=False, key=kr)
+                         use_left=False, key=kr, sharding=sharding)
     guess_l, _, _ = ortho_cd(out_r.evec)
     out_l = _nonsym_pass(matvec_l, precnd, guess_l, options,
-                         use_left=True, key=kl)
+                         use_left=True, key=kl, sharding=sharding)
 
     targ = jnp.arange(n_max) < options.n_targ
     eig_match = jnp.max(jnp.where(targ, out_r.eig - out_l.eig, 0.0)) <= options.tol

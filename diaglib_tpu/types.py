@@ -54,6 +54,10 @@ class SolverOptions:
     max_dav:  number of macro-blocks before a restart; effective value is
               ``max(10, max_dav)`` (diaglib.f90:1544, min_dav).
     shift:    diagonal level shift added to A (diaglib.f90:312).
+    reduced_solver: where the small replicated reduced dense solves run:
+              "device" (jnp.linalg), "host" (pure_callback to LAPACK, the
+              reference's own split), or "auto" (host iff compiling for
+              TPU).  See utils/reduced.py.
     """
 
     n_targ: int
@@ -62,6 +66,7 @@ class SolverOptions:
     tol: float = 1e-8
     max_dav: int = 20
     shift: float = 0.0
+    reduced_solver: str = "auto"
 
     def __post_init__(self):
         if self.n_max < self.n_targ:

@@ -67,22 +67,21 @@ def check_guess(evec, key, mask=None):
 
     fac = jnp.sqrt(jnp.sum(jnp.where(mask[:, None], evec, 0.0) ** 2))
 
-    def make_random(e):
-        rnd = jax.random.uniform(key, e.shape, dtype=e.dtype)
-        rnd = jnp.where(mask[:, None], rnd, 0.0)
-        out, _, _ = _ortho_cd(rnd, mask)
-        return out
+    # branch-free compute-and-select: a lax.cond whose branches each contain
+    # the deeply nested ortho_cd loops has crashed the TPU AOT compiler's
+    # replication analysis; selecting the candidate first needs only one
+    # ortho_cd and no cond, with identical results.
+    rnd = jax.random.uniform(key, evec.shape, dtype=evec.dtype)
+    e = jnp.where(fac == 0.0, rnd, evec)
+    e = jnp.where(mask[:, None], e, 0.0)
 
-    def validate(e):
-        e = jnp.where(mask[:, None], e, 0.0)
-        overlap = e @ e.T
-        diag = jnp.diagonal(overlap)
-        diag_norm = jnp.sum(jnp.where(mask, diag, 0.0) ** 2) / jnp.maximum(mvalid, 1)
-        outer = mask[:, None] & mask[None, :]
-        strict = jnp.triu(jnp.where(outer, overlap, 0.0), k=1)
-        out_norm = jnp.sum(strict**2)
-        needs = (diag_norm != 1.0) | (out_norm != 0.0)
-        reorth, _, _ = _ortho_cd(e, mask)
-        return jnp.where(needs, reorth, e)
+    overlap = e @ e.T
+    diag = jnp.diagonal(overlap)
+    diag_norm = jnp.sum(jnp.where(mask, diag, 0.0) ** 2) / jnp.maximum(mvalid, 1)
+    outer = mask[:, None] & mask[None, :]
+    strict = jnp.triu(jnp.where(outer, overlap, 0.0), k=1)
+    out_norm = jnp.sum(strict**2)
+    needs = (fac == 0.0) | (diag_norm != 1.0) | (out_norm != 0.0)
 
-    return jax.lax.cond(fac == 0.0, make_random, validate, evec)
+    reorth, _, _ = _ortho_cd(e, mask)
+    return jnp.where(needs, reorth, e)

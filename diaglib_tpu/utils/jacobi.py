@@ -1,0 +1,202 @@
+"""Compile-friendly on-device symmetric eigensolver (cyclic Jacobi).
+
+Why this exists: the reduced matrices of every driver are small (a few
+hundred squared), but XLA's built-in TPU eigh lowers to a recursive
+divide-and-conquer whose program size grows with the matrix dimension —
+at the sizes our solvers use inside a ``lax.while_loop`` it takes many
+minutes to compile (and has crashed the AOT compiler), while host
+callbacks are unavailable on some TPU runtimes.  Classic cyclic Jacobi
+with a static round-robin ordering compiles to a tiny fixed program (a
+scan over rotation rounds inside a sweep loop), runs in O(L^3) flops per
+sweep with O(L^2) work per round, and is backward stable with excellent
+relative accuracy — the right tool for small replicated eigenproblems on
+TPU.
+
+The SVD is obtained from the Jacobi eigendecomposition of the symmetric
+augmented matrix [[0, A^T], [A, 0]] whose positive eigenpairs are the
+singular triplets.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["jacobi_eigh", "jacobi_svd", "rank_argsort"]
+
+
+def rank_argsort(w, descending: bool = False):
+    """Stable argsort of a small 1-D array without a sort HLO.
+
+    XLA's sort/cumsum lowerings claim large scoped VMEM on TPU and have
+    OOM'd the compiler inside big loop bodies; an O(L^2) comparison matrix
+    is free at reduced-matrix sizes and lowers to plain vector ops.
+    """
+    L = w.shape[0]
+    idx = jnp.arange(L)
+    if descending:
+        key_lt = w[None, :] > w[:, None]
+    else:
+        key_lt = w[None, :] < w[:, None]
+    before = key_lt | ((w[None, :] == w[:, None]) & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(before, axis=1)          # rank[i] = position of element i
+    return jnp.zeros((L,), jnp.int32).at[rank].set(idx.astype(jnp.int32))
+
+
+def _jacobi_sweeps(a, v, max_sweeps: int):
+    """Run Jacobi sweeps until the off-diagonal norm reaches eps*||A|| in
+    the working dtype (or max_sweeps).  ``v`` accumulates rotations on the
+    right; both carry the tournament layout, which is a permutation of the
+    identity and gets undone by the caller's final sort.
+
+    Brent-Luk parallel ordering: in each round, physical row i is paired
+    with physical row i + L/2 (all L/2 rotations are disjoint and applied
+    at once via static half-matrix slices), and the tournament then
+    *rotates the data layout* — top half becomes [t0, b0, t1..t_{L/2-2}],
+    bottom half [b1..b_{L/2-1}, t_{L/2-1}].  The permutation is fused into
+    the rotation's concatenation, so each round materializes each matrix
+    exactly once per axis with no dynamic gathers/scatters — a tiny, fast
+    compiled program regardless of dimension.
+    """
+    L = a.shape[-1]
+    L2 = L // 2
+    dtype = a.dtype
+    eps = jnp.finfo(dtype).eps
+    anorm = jnp.linalg.norm(a)
+    tol = eps * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
+    eye = jnp.eye(L, dtype=bool)
+
+    def offnorm(m):
+        # sum directly over off-diagonal entries: the tempting
+        # ||m||^2 - ||diag||^2 cancels catastrophically near convergence
+        # and stalls the sweep loop around sqrt(eps)*||A||
+        off = jnp.where(eye, 0.0, m)
+        return jnp.linalg.norm(off)
+
+    def rotate_permute(x, c, s, axis):
+        """Pair-rotate (i, i+L2) along ``axis`` and apply the tournament
+        permutation, fused into one 5-slice concatenation."""
+        p = jax.lax.slice_in_dim(x, 0, L2, axis=axis)
+        q = jax.lax.slice_in_dim(x, L2, L, axis=axis)
+        if axis == 0:
+            cb, sb = c[:, None], s[:, None]
+        else:
+            cb, sb = c[None, :], s[None, :]
+        top = cb * p - sb * q
+        bot = sb * p + cb * q
+        sl = jax.lax.slice_in_dim
+        return jnp.concatenate(
+            [sl(top, 0, 1, axis=axis), sl(bot, 0, 1, axis=axis),
+             sl(top, 1, L2 - 1, axis=axis),
+             sl(bot, 1, L2, axis=axis), sl(top, L2 - 1, L2, axis=axis)],
+            axis=axis)
+
+    def round_step(i, carry):
+        m, v = carry
+        d = jnp.diagonal(m)
+        app = d[:L2]
+        aqq = d[L2:]
+        apq = jnp.diagonal(m[:L2, L2:])  # m[i, i + L2]
+        small = jnp.abs(apq) <= eps * anorm * 1e-3
+        tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)  # sign(0) must be +1 here
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        m = rotate_permute(m, c, s, 0)
+        m = rotate_permute(m, c, s, 1)
+        v = rotate_permute(v, c, s, 1)
+        return (m, v)
+
+    def sweep_cond(carry):
+        m, _, it = carry
+        return (offnorm(m) > tol) & (it < max_sweeps)
+
+    def sweep_body(carry):
+        m, v, it = carry
+        m, v = jax.lax.fori_loop(0, L - 1, round_step, (m, v))
+        return (m, v, it + 1)
+
+    m, v, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body, (a, v, jnp.asarray(0, jnp.int32))
+    )
+    return m, v
+
+
+def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True):
+    """Eigendecomposition of a symmetric matrix by cyclic Jacobi.
+
+    Returns (w, v) with w ascending and columns of v the eigenvectors,
+    matching jnp.linalg.eigh (quadratic convergence, ~8-10 sweeps).
+
+    For float64 input with ``mixed_precision`` (default), the bulk of the
+    sweeps runs in float32 — native speed on TPU, where float64 is
+    emulated — and the result seeds a float64 phase: A1 = V32^T A V32 is
+    nearly diagonal, so only ~2 double-precision sweeps remain.  The final
+    accuracy is set entirely by the float64 phase.
+    """
+    L0 = a.shape[-1]
+    dtype = a.dtype
+    L = L0 + (L0 % 2)  # pad odd dimensions with a decoupled unit row/col
+    if L != L0:
+        a = jnp.pad(a, ((0, 1), (0, 1)))
+
+    if mixed_precision and dtype == jnp.float64:
+        a32 = a.astype(jnp.float32)
+        m32, v32 = _jacobi_sweeps(a32, jnp.eye(L, dtype=jnp.float32),
+                                  max_sweeps)
+        v0 = v32.astype(jnp.float64)
+        # re-orthonormalize the f32 basis (two Newton steps of the polar
+        # iteration, error eps32 -> eps32^4) so the f64 phase starts from
+        # an orthogonal V
+        for _ in range(2):
+            v0 = 1.5 * v0 - 0.5 * v0 @ (v0.T @ v0)
+        a1 = v0.T @ a @ v0
+        m, v = _jacobi_sweeps(0.5 * (a1 + a1.T), v0, max_sweeps)
+    else:
+        m, v = _jacobi_sweeps(a, jnp.eye(L, dtype=dtype), max_sweeps)
+
+    w = jnp.diagonal(m)
+    order = rank_argsort(w)
+    w = w[order]
+    v = v[:, order]
+    if L != L0:
+        # drop the pad eigenpair (eigenvalue 0, vector e_{L0}) wherever the
+        # sort placed it; identify it by its support on the pad row
+        pad_col = jnp.argmax(jnp.abs(v[L0, :]))
+        idx = jnp.arange(L)
+        non_pad = idx != pad_col
+        pos = jnp.sum(non_pad[None, :] & (idx[None, :] < idx[:, None]), axis=1)
+        keep = jnp.zeros((L0,), jnp.int32).at[
+            jnp.where(non_pad, pos, L0)
+        ].set(idx.astype(jnp.int32), mode="drop")
+        w = w[keep]
+        v = v[:L0, keep]
+    return w, v
+
+
+def jacobi_svd(a, max_sweeps: int = 30):
+    """SVD of a square matrix via Jacobi on [[0, A^T], [A, 0]].
+
+    Returns (u, s, vt) with s descending, matching jnp.linalg.svd for
+    square inputs.  The augmented symmetric matrix has eigenpairs
+    (+/- sigma_i, (v_i; +/- u_i)/sqrt(2)).
+    """
+    L = a.shape[-1]
+    dtype = a.dtype
+    zero = jnp.zeros_like(a)
+    aug = jnp.block([[zero, a.T], [a, zero]])
+    w, x = jacobi_eigh(aug, max_sweeps)
+    # positive half, descending
+    s = w[::-1][:L]
+    xs = x[:, ::-1][:, :L]
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+    v = xs[:L, :] * sqrt2
+    u = xs[L:, :] * sqrt2
+    # renormalize defensively (zero singular values leave arbitrary scale)
+    def unit(m):
+        nrm = jnp.linalg.norm(m, axis=0, keepdims=True)
+        return m / jnp.where(nrm == 0.0, 1.0, nrm)
+
+    return unit(u), s, unit(v).T

@@ -70,21 +70,25 @@ def _pad_value(a, outer):
     return jnp.max(row_sums) + 1.0
 
 
-def masked_eigh(a, mask):
+def masked_eigh(a, mask, method: str = "device"):
     """eigh of the masked symmetric matrix.
 
     Returns (w, v) with the genuine eigenpairs ascending in the leading
     ``count(mask)`` positions; eigenvector columns for genuine eigenvalues are
     exactly zero on masked rows (the padded matrix is block diagonal).
+    ``method`` routes the dense solve (utils.reduced): "device" | "host" |
+    "auto".
     """
+    from . import reduced
+
     outer = mask[:, None] & mask[None, :]
     a_m = jnp.where(outer, a, 0.0)
     pad = _pad_value(a, outer)
     a_m = a_m + jnp.diag(jnp.where(mask, 0.0, pad))
-    return jnp.linalg.eigh(a_m)
+    return reduced.eigh(a_m, method)
 
 
-def masked_svd(a, mask):
+def masked_svd(a, mask, method: str = "device"):
     """SVD of the masked square matrix, genuine triplets leading.
 
     Masked rows/cols are padded with the identity (singular value 1).  The
@@ -93,12 +97,16 @@ def masked_svd(a, mask):
     singular vector supported on valid rows is genuine.  The result equals the
     SVD of the compacted matrix, embedded at the leading positions.
     """
+    from . import reduced
+
     outer = mask[:, None] & mask[None, :]
     a_m = jnp.where(outer, a, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
-    u, s, vt = jnp.linalg.svd(a_m)
+    u, s, vt = reduced.svd(a_m, method)
     # score ~ 1 for genuine columns (support on valid rows), ~0 for pad columns
+    from .jacobi import rank_argsort
+
     score = jnp.sum(jnp.where(mask[:, None], u, 0.0) ** 2, axis=0)
-    order = jnp.argsort(jnp.where(score > 0.5, 0, 1), stable=True)
+    order = rank_argsort(jnp.where(score > 0.5, 0.0, 1.0))
     return u[:, order], s[order], vt[order, :]
 
 

@@ -1,0 +1,98 @@
+"""Tests for the reduced-solver backends: jacobi vs jnp.linalg oracles, the
+host-callback path, and solvers running end-to-end with each method."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diaglib_tpu import SolverOptions
+from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+from diaglib_tpu.solvers import davidson
+from diaglib_tpu.utils import reduced
+from diaglib_tpu.utils.jacobi import jacobi_eigh, jacobi_svd
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _sym(k, n=97):
+    a = jax.random.normal(KEY, (n, n), jnp.float64)
+    return 0.5 * (a + a.T)
+
+
+@pytest.mark.parametrize("n", [16, 97, 128])
+def test_jacobi_eigh_matches_lapack(n):
+    a = _sym(0, n)
+    w, v = jacobi_eigh(a)
+    w0 = jnp.linalg.eigh(a)[0]
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=1e-11)
+    # eigen-residuals and orthonormality
+    res = a @ v - v * w[None, :]
+    assert float(jnp.max(jnp.abs(res))) < 1e-10
+    np.testing.assert_allclose(np.asarray(v.T @ v), np.eye(n), atol=1e-12)
+
+
+def test_jacobi_eigh_under_jit_and_loop():
+    a = _sym(0, 64)
+
+    @jax.jit
+    def f(m):
+        def body(c):
+            i, x = c
+            w, v = jacobi_eigh(x)
+            return i + 1, v @ jnp.diag(w) @ v.T
+
+        return jax.lax.while_loop(lambda c: c[0] < 2, body, (0, m))[1]
+
+    out = f(a)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a), atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [17, 64])
+def test_jacobi_svd_matches_lapack(n):
+    a = jax.random.normal(jax.random.PRNGKey(3), (n, n), jnp.float64)
+    u, s, vt = jacobi_svd(a)
+    s0 = jnp.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s0), atol=1e-11)
+    rec = (u * s[None, :]) @ vt
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(a), atol=1e-10)
+
+
+def test_eigh_gen_jacobi_matches_scipy():
+    import scipy.linalg
+
+    n = 48
+    s = _sym(0, n)
+    b = jax.random.normal(jax.random.PRNGKey(5), (n, n), jnp.float64)
+    a = b @ b.T + n * jnp.eye(n)
+    e, x = reduced.eigh_gen(s, a, "jacobi")
+    e0 = scipy.linalg.eigh(np.asarray(s), np.asarray(a), eigvals_only=True)
+    np.testing.assert_allclose(np.asarray(e), e0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(x.T @ a @ x), np.eye(n), atol=1e-9)
+
+
+def test_host_callback_path():
+    a = _sym(0, 32)
+    w, v = reduced.eigh(a, "host")
+    w0 = jnp.linalg.eigh(a)[0]
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w0), atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["device", "host", "jacobi"])
+def test_davidson_with_each_reduced_solver(method):
+    n, n_want, n_eig = 200, 4, 8
+    a = symm_matrix(n)
+    w = jnp.linalg.eigh(a)[0]
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=100, tol=1e-8,
+                         max_dav=10, reduced_solver=method)
+    res = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                   jnp.zeros((n_eig, n), jnp.float64), opts,
+                   key=jax.random.PRNGKey(11))
+    assert bool(res.ok), method
+    np.testing.assert_allclose(np.asarray(res.eig[:n_want]),
+                               np.asarray(w[:n_want]), rtol=0, atol=1e-7)
+
+
+def test_bad_method():
+    with pytest.raises(ValueError):
+        reduced.eigh(jnp.eye(4), "bogus")
