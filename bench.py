@@ -1,0 +1,154 @@
+"""Benchmark driver: one JSON line on stdout, detail on stderr.
+
+Headline metric: wall time for a full Davidson-Liu solve of the flagship
+matrix-free workload — 10 lowest eigenpairs of a 131072-dim SPD block-sparse
+operator (BSR, 512-blocks, ~470M f64 nnz-bytes) to tol 1e-10 rms — on the
+available accelerator.  This exercises the whole framework: the Pallas/BSR
+SpMM matvec, the masked static-shape solver loop, the mixed-precision Jacobi
+reduced eigensolver and the orthogonalization kernels.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); we report
+speedup vs the previous round's recorded value (BENCH_r{N}.json in the repo
+root), 1.0 when none exists.
+
+Secondary numbers (stderr): SpMM throughput in Gnnz/s, the reference's exact
+n=1000 toy protocol (main.f90:14-18) solve time, iteration and matvec counts.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diaglib_tpu import SolverOptions  # noqa: E402
+from diaglib_tpu.ops import bsr_matvec, random_bsr_spd  # noqa: E402
+from diaglib_tpu.ops.bsr import bsr_diagonal  # noqa: E402
+from diaglib_tpu.problems import (  # noqa: E402
+    dense_matvec,
+    diag_precnd,
+    symm_matrix,
+)
+from diaglib_tpu.solvers import davidson  # noqa: E402
+
+METRIC = "davidson_bsr_n131072_f64_wall"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def prev_value():
+    vals = {}
+    for f in glob.glob("BENCH_r*.json"):
+        m = re.match(r"BENCH_r(\d+)\.json", os.path.basename(f))
+        if not m:
+            continue
+        try:
+            d = json.load(open(f))
+            if d.get("metric") == METRIC:
+                vals[int(m.group(1))] = float(d["value"])
+        except Exception:
+            pass
+    if not vals:
+        return None
+    return vals[max(vals)]
+
+
+def bench_spmm():
+    n, B, bpr, k = 131072, 512, 4, 16
+    m = random_bsr_spd(n, B, bpr, jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
+    rep = 50
+
+    @jax.jit
+    def many(m, x):
+        def body(i, acc):
+            return bsr_matvec(m)(acc) * 1e-3
+        return jax.lax.fori_loop(0, rep, body, x)
+
+    y = jax.block_until_ready(many(m, x))
+    t0 = time.time()
+    y = jax.block_until_ready(many(m, x))
+    dt = (time.time() - t0) / rep
+    log(f"spmm f32 n={n} B={B}: {dt*1e3:.2f} ms/matvec, "
+        f"{m.nnz/1e9/dt:.1f} Gnnz/s")
+
+
+def bench_davidson_bsr():
+    n, B, bpr = 131072, 512, 4
+    n_want, n_eig = 10, 15
+    m = random_bsr_spd(n, B, bpr, jax.random.PRNGKey(0), dtype=jnp.float64)
+    diag = bsr_diagonal(m)
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=100, tol=1e-10,
+                         max_dav=10)
+
+    run = jax.jit(lambda m, g, k: davidson(
+        bsr_matvec(m), diag_precnd(bsr_diagonal(m)), g, opts, key=k))
+    g = jnp.zeros((n_eig, n), jnp.float64)
+
+    t0 = time.time()
+    res = jax.block_until_ready(run(m, g, jax.random.PRNGKey(1)))
+    log(f"davidson bsr n={n}: compile+first solve {time.time()-t0:.1f}s, "
+        f"ok={bool(res.ok)} iters={int(res.n_iter)} matvecs={int(res.n_matvec)}")
+    if not bool(res.ok):
+        log("WARNING: flagship solve did not converge")
+
+    t0 = time.time()
+    res = jax.block_until_ready(run(m, g, jax.random.PRNGKey(2)))
+    dt = time.time() - t0
+    log(f"davidson bsr steady-state: {dt:.2f}s "
+        f"iters={int(res.n_iter)} ok={bool(res.ok)}")
+    return dt, bool(res.ok)
+
+
+def bench_toy():
+    """The reference's exact toy protocol (main.f90:14-18)."""
+    n, n_want, n_eig = 1000, 10, 15
+    a = symm_matrix(n)
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=100, tol=1e-8,
+                         max_dav=20)
+    run = jax.jit(lambda a, g, k: davidson(
+        dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
+    g = jnp.zeros((n_eig, n), jnp.float64)
+    res = jax.block_until_ready(run(a, g, jax.random.PRNGKey(1)))
+    t0 = time.time()
+    res = jax.block_until_ready(run(a, g, jax.random.PRNGKey(2)))
+    log(f"toy n=1000 (reference protocol): {time.time()-t0:.2f}s "
+        f"iters={int(res.n_iter)} ok={bool(res.ok)}")
+
+
+def main():
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    try:
+        bench_spmm()
+    except Exception as e:  # secondary metric; never fail the bench on it
+        log(f"spmm bench failed: {e}")
+    try:
+        bench_toy()
+    except Exception as e:
+        log(f"toy bench failed: {e}")
+
+    dt, ok = bench_davidson_bsr()
+    prev = prev_value()
+    vs = (prev / dt) if prev else 1.0
+    print(json.dumps({
+        "metric": METRIC,
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(vs, 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Block-sparse-row (BSR) operator with a Pallas TPU SpMM kernel.
+
+The reference never materializes the matrix — users supply ``matvec``
+callbacks (README.md:30-44).  For the TPU framework the north-star workload
+(BASELINE.md) is a large sparse operator, so this module provides the
+canonical high-performance callback: a BSR matrix whose row-block matvec
+runs as a Pallas kernel tiled for the MXU.
+
+Layout: vectors are rows (k, n) like everywhere in this library; the kernel
+computes ``y = x @ A^T`` (i.e. y_i = A x_i per row) as
+
+    y[:, r*B:(r+1)*B] = sum_e in row r   x[:, col_e*B:(col_e+1)*B] @ T_e
+
+with ``T_e = blocks[e]^T`` stored pre-transposed so the inner contraction
+is a plain (k, B) @ (B, B) MXU matmul.
+
+Kernel structure (one grid step per nonzero block, entries sorted by row):
+the scalar-prefetched ``cols``/``rows`` arrays drive the BlockSpec index
+maps, so Pallas pipelines the (k, B) x-slices and (B, B) blocks from HBM
+automatically; the output block lives in VMEM across consecutive grid steps
+of the same row (TPU grids execute sequentially — accumulation is safe) and
+is zeroed at each row's first entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "BSRMatrix",
+    "bsr_from_dense",
+    "bsr_to_dense",
+    "bsr_matvec",
+    "bsr_diagonal",
+    "random_bsr_spd",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Square block-sparse matrix with uniform B x B blocks.
+
+    blocks_t: (nnzb, B, B) — the e-th block stored TRANSPOSED (ready for
+              ``x_blk @ blocks_t[e]``).
+    rows:     (nnzb,) int32 block-row index of each entry (sorted ascending).
+    cols:     (nnzb,) int32 block-col index of each entry.
+    row_start:(nbr,) int32 — index of the first entry of each block row
+              (entries are contiguous per row).
+    n:        matrix dimension (nbr * B).
+    """
+
+    blocks_t: jax.Array
+    rows: jax.Array
+    cols: jax.Array
+    row_start: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnzb(self) -> int:
+        return self.blocks_t.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.nnzb * self.block * self.block
+
+
+def bsr_from_dense(a, block: int) -> BSRMatrix:
+    """Build a BSR matrix from a dense array, dropping all-zero blocks."""
+    a = np.asarray(a)
+    n = a.shape[0]
+    if n % block or a.shape[0] != a.shape[1]:
+        raise ValueError("dense matrix must be square with n % block == 0")
+    nbr = n // block
+    rows, cols, blocks = [], [], []
+    for r in range(nbr):
+        for c in range(nbr):
+            blk = a[r * block:(r + 1) * block, c * block:(c + 1) * block]
+            if np.any(blk != 0.0):
+                rows.append(r)
+                cols.append(c)
+                blocks.append(blk.T)  # pre-transposed
+    return BSRMatrix(
+        blocks_t=jnp.asarray(np.stack(blocks)),
+        rows=jnp.asarray(rows, jnp.int32),
+        cols=jnp.asarray(cols, jnp.int32),
+        row_start=jnp.asarray(
+            np.searchsorted(np.asarray(rows), np.arange(nbr)), jnp.int32),
+        n=n,
+        block=block,
+    )
+
+
+def bsr_to_dense(m: BSRMatrix):
+    """Dense reconstruction (tests/oracles only)."""
+    B = m.block
+    out = jnp.zeros((m.n, m.n), m.blocks_t.dtype)
+
+    def body(i, acc):
+        r, c = m.rows[i], m.cols[i]
+        return jax.lax.dynamic_update_slice(
+            acc, m.blocks_t[i].T, (r * B, c * B))
+
+    return jax.lax.fori_loop(0, m.nnzb, body, out)
+
+
+def bsr_diagonal(m: BSRMatrix):
+    """(n,) main diagonal — the input to mprec-style preconditioners."""
+    nbr = m.n // m.block
+    is_diag = m.rows == m.cols
+    contrib = jax.vmap(jnp.diagonal)(m.blocks_t)  # transpose shares the diag
+    d = jnp.zeros((nbr, m.block), m.blocks_t.dtype)
+    d = d.at[m.rows].add(jnp.where(is_diag[:, None], contrib, 0.0))
+    return d.reshape(-1)
+
+
+def _spmm_kernel(rows_ref, cols_ref, first_ref, x_ref, blk_ref, o_ref):
+    @pl.when(first_ref[pl.program_id(0)] == 1)
+    def _():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    o_ref[:, :] += jnp.dot(x_ref[:, :], blk_ref[0],
+                           preferred_element_type=o_ref.dtype)
+
+
+def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
+    k, n = x.shape
+    B = m.block
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (m.rows[1:] != m.rows[:-1]).astype(jnp.int32)])
+    # index maps must stay int32 and may not capture constants: with
+    # jax_enable_x64 a literal 0 traces as i64 (Mosaic cannot legalize it),
+    # so zeros are derived from the int32 index argument instead
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # rows, cols, first
+        grid=(m.nnzb,),
+        in_specs=[
+            pl.BlockSpec((k, B),
+                         lambda e, rows, cols, first: (e * 0, cols[e]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, B),
+                         lambda e, rows, cols, first: (e, e * 0, e * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, B),
+                               lambda e, rows, cols, first: (e * 0, rows[e]),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m.nnzb * k * B * B,
+            bytes_accessed=m.nnzb * (B * B + 2 * k * B) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(m.rows, m.cols, first, x, m.blocks_t)
+
+
+def _spmm_reference(m: BSRMatrix, x, chunk: int = 64):
+    """Pure-jnp fallback: gather x block-columns, batched matmul, segment-add.
+
+    Entries are processed in chunks inside a scan: one flat batched einsum
+    over all nnzb blocks makes XLA materialize O(nnzb * B^2) temporaries
+    (several copies under f64 emulation — tens of GB at production sizes).
+    """
+    B = m.block
+    k = x.shape[0]
+    nbr = m.n // B
+    xb = x.reshape(k, nbr, B).transpose(1, 0, 2)           # (nbc, k, B)
+
+    nnzb = m.nnzb
+    nchunk = -(-nnzb // chunk)
+    pad = nchunk * chunk - nnzb
+    cols, rows, blocks = m.cols, m.rows, m.blocks_t
+    if pad:
+        # pad with a zero block pointing at col 0 / accumulating into row 0
+        cols = jnp.pad(cols, (0, pad))
+        rows = jnp.pad(rows, (0, pad))
+        blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+
+    def body(acc, ch):
+        c, r, blk = ch
+        gathered = jnp.take(xb, c, axis=0)                 # (chunk, k, B)
+        # 2x/0.5 scaling: see utils/mm.py (TPU f64 emulation loses
+        # precision on value-correlated contractions)
+        prods = jnp.einsum("ekb,ebc->ekc", gathered, 2.0 * blk) * 0.5
+        return acc.at[r].add(prods), None
+
+    init = jnp.zeros((nbr, k, B), x.dtype)
+    out, _ = jax.lax.scan(
+        body, init,
+        (cols.reshape(nchunk, chunk), rows.reshape(nchunk, chunk),
+         blocks.reshape(nchunk, chunk, B, B)))
+    return out.transpose(1, 0, 2).reshape(k, m.n)
+
+
+def bsr_matvec(m: BSRMatrix, *, force_reference: bool = False):
+    """Row-block matvec closure ``x: (k, n) -> (k, n)`` for the solvers.
+
+    Uses the Pallas kernel on TPU for f32/bf16; the segment-sum reference
+    path elsewhere (CPU meshes, tests) and for float64, which Mosaic's MXU
+    lowering does not support (XLA's emulated-f64 matmul handles it).
+    """
+
+    def mv(x):
+        if (force_reference or jax.default_backend() != "tpu"
+                or m.blocks_t.dtype == jnp.float64):
+            return _spmm_reference(m, x)
+        return _spmm_pallas(m, x, interpret=False)
+
+    return mv
+
+
+def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
+                   dtype=jnp.float32, n_low_modes: int = 20) -> BSRMatrix:
+    """Random SPD-ish block-sparse test matrix with a dominant diagonal.
+
+    Structure: the block diagonal plus ``blocks_per_row - 1`` symmetric
+    off-diagonal block pairs per row (band-ish, deterministic from key).
+    Diagonal blocks are made diagonally dominant so the matrix is SPD and
+    a shift-and-invert diagonal preconditioner works (mprec-style).
+    ``n_low_modes`` diagonal entries are pulled well below the bulk band so
+    the low end of the spectrum is a set of separated eigenvalues an
+    iterative solver can actually resolve (the bulk is a dense continuum).
+    """
+    if n % block:
+        raise ValueError("n must be divisible by block")
+    nbr = n // block
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    entries = {}
+    for r in range(nbr):
+        entries[(r, r)] = None  # placeholder, filled below
+    for r in range(nbr):
+        for jj in range(blocks_per_row - 1):
+            c = (r + 1 + jj * max(1, nbr // blocks_per_row)) % nbr
+            lo, hi = min(r, c), max(r, c)
+            if lo != hi:
+                entries[(lo, hi)] = None
+
+    pairs = sorted(entries)
+    # random data; symmetric overall: store both (r,c) and (c,r)
+    all_rows, all_cols, all_blocks = [], [], []
+    diag_boost = np.zeros(nbr)
+    off_blocks = {}
+    for (r, c) in pairs:
+        if r == c:
+            continue
+        blk = rng.standard_normal((block, block)) / np.sqrt(block)
+        off_blocks[(r, c)] = blk
+        diag_boost[r] += np.abs(blk).sum(axis=1).max()
+        diag_boost[c] += np.abs(blk).sum(axis=0).max()
+    low_rows = rng.choice(n, size=min(n_low_modes, n), replace=False)
+    low_vals = np.linspace(0.5, 2.0, len(low_rows))
+    sym_blocks = {}
+    sym_rowmax = np.zeros(nbr)
+    for r in range(nbr):
+        sym = rng.standard_normal((block, block)) / np.sqrt(block)
+        sym = 0.5 * (sym + sym.T)
+        sym_blocks[r] = sym
+        sym_rowmax[r] = np.abs(sym).sum(axis=1).max()
+    # one GLOBAL diagonal base: per-row bases drift by the row's off-block
+    # mass, which at scale buries the implanted low modes inside another
+    # row's bulk band — separation must be global, not per-row
+    base = float((diag_boost + sym_rowmax).max()) + 1.0
+    for r in range(nbr):
+        diag_vals = base + 10.0 + 3.0 * rng.random(block)
+        for i, g in enumerate(low_rows):
+            if r * block <= g < (r + 1) * block:
+                diag_vals[g - r * block] = base + low_vals[i]
+        off_blocks[(r, r)] = sym_blocks[r] + np.diag(diag_vals)
+
+    items = []
+    for (r, c), blk in off_blocks.items():
+        items.append((r, c, blk))
+        if r != c:
+            items.append((c, r, blk.T))
+    items.sort(key=lambda t: (t[0], t[1]))
+    all_rows = [t[0] for t in items]
+    all_cols = [t[1] for t in items]
+    all_blocks = [t[2].T for t in items]  # pre-transposed storage
+
+    return BSRMatrix(
+        blocks_t=jnp.asarray(np.stack(all_blocks), dtype),
+        rows=jnp.asarray(all_rows, jnp.int32),
+        cols=jnp.asarray(all_cols, jnp.int32),
+        row_start=jnp.asarray(
+            np.searchsorted(np.asarray(all_rows), np.arange(nbr)), jnp.int32),
+        n=n,
+        block=block,
+    )

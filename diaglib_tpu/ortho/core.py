@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..utils.masking import masked_cholesky, masked_svd
+from ..utils.mm import mm, mTm, mmT
 
 __all__ = [
     "norm_est",
@@ -135,7 +136,7 @@ def ortho_cd(u, mask=None, max_iter: int = _MAXIT):
 
     def body(s: _CDState):
         uu = s.u
-        metric = uu @ uu.T
+        metric = mmT(uu, uu)
         unorm = jnp.sqrt(jnp.sum(uu * uu))
         L, failed = _shifted_cholesky(metric, mask, unorm, dtype)
         # if the shift ladder itself failed, bail out with ok=False
@@ -144,7 +145,7 @@ def ortho_cd(u, mask=None, max_iter: int = _MAXIT):
         linv_norm = norm_est(linv, mask)
         rcond = l_norm * linv_norm
         growth = s.growth * linv_norm
-        u_new = linv @ uu
+        u_new = mm(linv, uu)
         error = _eps(dtype) * rcond * rcond
         converged = error < _tol_ortho(dtype)
         done = converged | failed
@@ -226,7 +227,7 @@ def _iterate_vs_x(project, x_for_overlap, u, umask, max_iter):
     def body(s: _VsXState):
         uu = project(s.u)
         uu, growth, cd_ok = _ortho_or_qr(uu, umask)
-        overlap = x_for_overlap @ uu.T
+        overlap = mmT(x_for_overlap, uu)
         explicit = jnp.sqrt(jnp.sum(overlap * overlap))
         xu_norm = jnp.where(cd_ok, growth * _eps(dtype), explicit)
         done = xu_norm < _tol_ortho(dtype)
@@ -251,7 +252,7 @@ def ortho_vs_x(x, u, xmask=None, umask=None, max_iter: int = _MAXIT):
     xm = jnp.where(xmask[:, None], x, 0.0)
 
     def project(uu):
-        return uu - (uu @ xm.T) @ xm
+        return uu - mm(mmT(uu, xm), xm)
 
     u_out, done = _iterate_vs_x(project, xm, u, umask, max_iter)
     return u_out, done
@@ -264,7 +265,7 @@ def b_ortho(u, bu, mask=None):
     """
     k = u.shape[0]
     mask = _rowmask(mask, k)
-    metric = u @ bu.T
+    metric = mmT(u, bu)
     L, _ = masked_cholesky(metric, mask)
     u_new = solve_triangular(L, u, lower=True)
     bu_new = solve_triangular(L, bu, lower=True)
@@ -278,12 +279,12 @@ def b_ortho_svd(u, bu, mask=None, tol_svd: float = 1.0e-5):
     apply metric^{-1/2}, dropping singular directions below ``tol_svd``."""
     k = u.shape[0]
     mask = _rowmask(mask, k)
-    metric = u @ bu.T
+    metric = mmT(u, bu)
     uu, s, vt = masked_svd(metric, mask)
     s_inv = jnp.where(s > tol_svd, 1.0 / jnp.sqrt(s), 0.0)
     m_inv_half = uu @ (s_inv[:, None] * vt)
-    u_new = m_inv_half.T @ u
-    bu_new = m_inv_half.T @ bu
+    u_new = mTm(m_inv_half, u)
+    bu_new = mTm(m_inv_half, bu)
     u_new = jnp.where(mask[:, None], u_new, 0.0)
     bu_new = jnp.where(mask[:, None], bu_new, 0.0)
     return u_new, bu_new
@@ -298,7 +299,7 @@ def b_ortho_vs_x(x, bx, u, xmask=None, umask=None, max_iter: int = _MAXIT):
     bxm = jnp.where(xmask[:, None], bx, 0.0)
 
     def project(uu):
-        return uu - (uu @ bxm.T) @ xm
+        return uu - mm(mmT(uu, bxm), xm)
 
     u_out, done = _iterate_vs_x(project, bxm, u, umask, max_iter)
     return u_out, done
@@ -310,11 +311,11 @@ def svd_biortho(u_l, u_r, mask=None):
     giving u_l u_r^T = I on the valid block."""
     k = u_l.shape[0]
     mask = _rowmask(mask, k)
-    over = u_l @ u_r.T
+    over = mmT(u_l, u_r)
     uu, s, vt = masked_svd(over, mask)
     inv_sqrt = 1.0 / jnp.sqrt(s)
-    u_l_new = inv_sqrt[:, None] * (uu.T @ u_l)
-    u_r_new = inv_sqrt[:, None] * (vt @ u_r)
+    u_l_new = inv_sqrt[:, None] * mTm(uu, u_l)
+    u_r_new = inv_sqrt[:, None] * mm(vt, u_r)
     u_l_new = jnp.where(mask[:, None], u_l_new, 0.0)
     u_r_new = jnp.where(mask[:, None], u_r_new, 0.0)
     return u_l_new, u_r_new
@@ -342,8 +343,8 @@ def biortho_vs_x(xl, xr, ul, ur, xmask=None, umask=None,
         return (~s.done) & (s.it < max_iter)
 
     def body(s: _BiState):
-        ur_ = s.ur - (s.ur @ xlm.T) @ xrm
-        ul_ = s.ul - (s.ul @ xrm.T) @ xlm
+        ur_ = s.ur - mm(mmT(s.ur, xlm), xrm)
+        ul_ = s.ul - mm(mmT(s.ul, xrm), xlm)
         ul_, g_l, _ = ortho_cd(ul_, umask)
         ur_, g_r, _ = ortho_cd(ur_, umask)
         n1 = g_l * _eps(dtype)

@@ -1,0 +1,59 @@
+"""Observability: convergence tables and timing reports.
+
+The reference prints a per-iteration per-root table when ``verbose``
+(diaglib.f90:381-385, format 1030/1040) and a cpu/wall timing summary per
+driver (540-546).  In a jit-compiled solver, printing from inside the loop
+would force host syncs, so the TPU design returns the full convergence
+history in the result object and renders the identical table *post hoc*;
+wall timing is taken around the (blocking) solve by the caller.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+__all__ = ["convergence_table", "print_convergence_table", "timing_report"]
+
+
+def convergence_table(result, n_targ: int, solver: str = "Davidson-Liu",
+                      tol: float = None) -> str:
+    """Render the reference's verbose iteration table (format 1030/1040)."""
+    eig_h = np.asarray(result.eig_history)
+    rms_h = np.asarray(result.rms_history)
+    max_h = np.asarray(result.max_history)
+    n_iter = int(result.n_iter)
+    lines = []
+    head = f"{solver} iterations"
+    if tol is not None:
+        head += f" (tol={tol:10.2e})"
+    bar = "-" * 66
+    lines += [f"    {head}:", f"    {bar}",
+              "       iter  root              eigenvalue         rms         max ok",
+              f"    {bar}"]
+    for it in range(n_iter):
+        for i in range(n_targ):
+            rms, mx = rms_h[it, i], max_h[it, i]
+            ok = rms < (tol or np.inf) and mx < 10 * (tol or np.inf)
+            lines.append(
+                f"       {it+1:4d}  {i+1:4d}{eig_h[it, i]:24.12f}"
+                f"{rms:12.4e}{mx:12.4e}  {'T' if ok else 'F'}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def print_convergence_table(result, n_targ: int, solver: str = "Davidson-Liu",
+                            tol: float = None, file=sys.stdout):
+    print(convergence_table(result, n_targ, solver, tol), file=file)
+
+
+def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
+                  file=sys.stdout):
+    """Timing summary in the spirit of diaglib.f90:1835-1841 (the jitted
+    loop fuses phases, so a single wall figure plus counters replaces the
+    per-phase accumulators)."""
+    print(f"  timings for {solver} (wall):", file=file)
+    print(f"    total:                {wall_s:12.4f} s", file=file)
+    print(f"    iterations:           {n_iter:12d}", file=file)
+    print(f"    operator applications:{n_matvec:12d}", file=file)

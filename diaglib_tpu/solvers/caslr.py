@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_cd, ortho_vs_x
 from ..utils import reduced
+from ..utils.mm import mm, mTm, mmT
 from ..types import LRSolverResult, SolverOptions
 from ..utils.masking import (
     gather_rows,
@@ -129,19 +130,19 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
 
     ep = _pad_eye(0.5 * (epmat + epmat.T), mask)
     em = _pad_eye(0.5 * (emmat + emmat.T), mask)
-    ept = vt1s @ ep @ vt1s.T
-    emt = u1s.T @ em @ u1s
+    ept = mm(vt1s, mmT(ep, vt1s))
+    emt = mTm(u1s, mm(em, u1s))
     lp = reduced.cholesky(0.5 * (ept + ept.T), method)
     lm = reduced.cholesky(0.5 * (emt + emt.T), method)
-    cmat = lm.T @ lp
+    cmat = mTm(lm, lp)
     u2, s2, vt2 = masked_svd(cmat, mask, method)
 
     # genuine singular values occupy the leading ldu slots in descending
     # order; the reference reads them from the bottom (smallest first)
     pos = jnp.clip(ldu - 1 - jnp.arange(n_max), 0, s2.shape[0] - 1)
     eig = jnp.take(s2, pos)
-    xpt = vt1s.T @ (lm @ u2)
-    xmt = u1s @ (lp @ vt2.T)
+    xpt = mTm(vt1s, mm(lm, u2))
+    xmt = mm(u1s, mmT(lp, vt2))
     scale = 1.0 / (jnp.sqrt(jnp.asarray(2.0, dtype)) * eig)
     up = jnp.take(xpt, pos, axis=1) * scale[None, :]
     um = jnp.take(xmt, pos, axis=1) * scale[None, :]
@@ -232,9 +233,9 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         n_matvec = s.n_matvec + 4 * s.n_act
 
         col_ok = prefix_mask(lda_pad, ldu_new)
-        epmat = s.vp @ lvp.T
-        emmat = s.vm @ lvm.T
-        smat = s.vm @ bvm.T
+        epmat = mmT(s.vp, lvp)
+        emmat = mmT(s.vm, lvm)
+        smat = mmT(s.vm, bvm)
 
         if algorithm == 0:
             eig, up, um = _reduced_inverse_pencil(
@@ -244,12 +245,12 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                 epmat, emmat, smat, col_ok, ldu_new, n_max,
                 options.reduced_solver)
 
-        eigp = up.T @ s.vp
-        eigm = um.T @ s.vm
+        eigp = mTm(up, s.vp)
+        eigm = mTm(um, s.vm)
         evec = _combine(eigp, eigm)
 
-        rp = up.T @ lvp - eig[:, None] * (um.T @ bvp)
-        rm = um.T @ lvm - eig[:, None] * (up.T @ bvm)
+        rp = mTm(up, lvp) - eig[:, None] * mTm(um, bvp)
+        rm = mTm(um, lvm) - eig[:, None] * mTm(up, bvm)
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms_new = (jnp.linalg.norm(rp, axis=1)
@@ -386,8 +387,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         n_matvec = s.n_matvec + 2 * s.n_act
 
         col_ok = prefix_mask(lda_pad, ldu_new)
-        smat = _pad_zero(s.vm @ bvm.T, col_ok)
-        sts = smat.T @ smat
+        smat = _pad_zero(mmT(s.vm, bvm), col_ok)
+        sts = mTm(smat, smat)
         # pad with a large negative diagonal so the genuine (>=0) spectrum
         # occupies the trailing ascending slots (we need the LARGEST here,
         # diaglib.f90:1309-1312)
@@ -396,14 +397,14 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         e_red, c_full = reduced.eigh(sts, options.reduced_solver)
         inv_w = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # eig = 1/w, descending
         up = c_full[:, ::-1][:, :n_max]
-        um = (smat @ up) / inv_w[None, :]
+        um = mm(smat, up) / inv_w[None, :]
 
-        eigp = up.T @ s.vp
-        eigm = um.T @ s.vm
+        eigp = mTm(up, s.vp)
+        eigm = mTm(um, s.vm)
         evec = _combine(eigp, eigm)
 
-        rp = um.T @ bvp - inv_w[:, None] * (up.T @ s.lvp)
-        rm = up.T @ bvm - inv_w[:, None] * (um.T @ s.lvm)
+        rp = mTm(um, bvp) - inv_w[:, None] * mTm(up, s.lvp)
+        rm = mTm(up, bvm) - inv_w[:, None] * mTm(um, s.lvm)
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         scale = inv_w * sqrt2

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_vs_x
 from ..types import SolverOptions, SolverResult
 from ..utils.guess import check_guess
+from ..utils.mm import mm, mTm, mmT
 from ..utils.masking import (
     gather_rows,
     masked_eigh,
@@ -126,7 +127,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         # incremental reduced-matrix rows: a_red[g, j] = aspace_g . space_j
         # (row-filled lower triangle; the Fortran fills columns of the upper
         # one, diaglib.f90:1691 — same data, transposed layout)
-        new_rows = ablock @ s.space.T  # (n_max, lda_pad)
+        new_rows = mmT(ablock, s.space)  # (n_max, lda_pad)
         col_ok = prefix_mask(lda_pad, ldu_new)
         new_rows = jnp.where(col_ok[None, :], new_rows, 0.0)
         a_red = scatter_rows(s.a_red, new_rows, start)
@@ -136,9 +137,9 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 
-        evec = c.T @ s.space
-        metric_evec = c.T @ s.bspace if gen_eig else evec
-        r = c.T @ aspace - eig[:, None] * metric_evec
+        evec = mTm(c, s.space)
+        metric_evec = mTm(c, s.bspace) if gen_eig else evec
+        r = mTm(c, aspace) - eig[:, None] * metric_evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms_new = jnp.linalg.norm(r, axis=1) / sqrtn

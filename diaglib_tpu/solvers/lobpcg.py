@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from ..ortho.core import b_ortho, b_ortho_vs_x, ortho_vs_x
 from ..types import SolverOptions, SolverResult
 from ..utils.guess import check_guess
+from ..utils.mm import mm, mTm, mmT
 from ..utils.masking import gather_rows, masked_eigh, prefix_lock, scatter_rows
+from ..utils import reduced
 
 __all__ = ["lobpcg"]
 
@@ -128,13 +130,13 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         x = guess
         bx = jnp.zeros_like(guess)
     ax = apply_a(x)
-    g0 = x @ ax.T
-    e0, c0 = jnp.linalg.eigh(0.5 * (g0 + g0.T))
+    g0 = mmT(x, ax)
+    e0, c0 = reduced.eigh(0.5 * (g0 + g0.T), options.reduced_solver)
     eig0 = e0
-    x = c0.T @ x
-    ax = c0.T @ ax
+    x = mTm(c0, x)
+    ax = mTm(c0, ax)
     if gen_eig:
-        bx = c0.T @ bx
+        bx = mTm(c0, bx)
     r0 = ax - eig0[:, None] * (bx if gen_eig else x)
 
     pv0 = jnp.zeros((n_max,), bool)
@@ -162,15 +164,15 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         n_matvec = s.n_matvec + s.n_act
 
         mask = jnp.concatenate([jnp.ones((n_max,), bool), p_valid, w_mask])
-        g = s.space @ aspace.T
+        g = mmT(s.space, aspace)
         e_red, c_full = masked_eigh(0.5 * (g + g.T), mask,
                                     method=options.reduced_solver)
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (3*n_max, n_max)
 
-        x_new = c.T @ s.space
-        ax_new = c.T @ aspace
-        bx_new = c.T @ s.bspace if gen_eig else jnp.zeros_like(x_new)
+        x_new = mTm(c, s.space)
+        ax_new = mTm(c, aspace)
+        bx_new = mTm(c, s.bspace) if gen_eig else jnp.zeros_like(x_new)
 
         metric_x = bx_new if gen_eig else x_new
         r = ax_new - eig[:, None] * metric_x
@@ -199,9 +201,9 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
             u_p = u_p - jnp.where(umask[:, None], onehots, 0.0)
             u_p, _ = ortho_vs_x(u_x, u_p, umask=umask)
 
-            p_new = u_p @ s.space
-            ap_new = u_p @ aspace
-            bp_new = u_p @ s.bspace if gen_eig else jnp.zeros_like(p_new)
+            p_new = mm(u_p, s.space)
+            ap_new = mm(u_p, aspace)
+            bp_new = mm(u_p, s.bspace) if gen_eig else jnp.zeros_like(p_new)
 
             sp = jnp.concatenate([x_new, p_new, jnp.zeros((n_max, n), dtype)])
             asp = jnp.concatenate([ax_new, ap_new, jnp.zeros((n_max, n), dtype)])

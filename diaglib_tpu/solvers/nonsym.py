@@ -38,6 +38,7 @@ import numpy as np
 from ..ortho.core import ortho_cd, ortho_vs_x
 from ..types import NonsymResult, SolverOptions
 from ..utils.guess import check_guess
+from ..utils.mm import mm, mTm, mmT
 from ..utils.masking import gather_rows, prefix_lock, prefix_mask, scatter_rows
 
 __all__ = ["nonsym"]
@@ -252,9 +253,9 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         # = (A^T l_i) . l_j (diaglib.f90:2488-2494) — both reduce A in the
         # current basis
         if use_left:
-            g = aspace @ s.space.T
+            g = mmT(aspace, s.space)
         else:
-            g = s.space @ aspace.T
+            g = mmT(s.space, aspace)
         g = jnp.where(outer, g, 0.0)
 
         n_sort = jnp.where(s.fresh, n_max, n_max + s.n_act)
@@ -269,8 +270,8 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         cl = vl[:, :n_max]
         c_use = cl if use_left else cr
 
-        evec = c_use.T @ s.space
-        r = c_use.T @ aspace - eig[:, None] * evec
+        evec = mTm(c_use, s.space)
+        r = mTm(c_use, aspace) - eig[:, None] * evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms = jnp.where(active, jnp.linalg.norm(r, axis=1) / sqrtn, s.rms)
@@ -418,7 +419,7 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
     # eigenvalue<->vector pairing.  The pairing-preserving equivalent is a
     # solve: evec_l <- O^{-1} evec_l gives evec_l @ evec_r^T = I exactly
     # while perturbing each vector only at the size of its residual.
-    overlap = out_l.evec @ out_r.evec.T
+    overlap = mmT(out_l.evec, out_r.evec)
     evec_l = jnp.linalg.solve(overlap, out_l.evec)
     evec_r = out_r.evec
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .mm import mmT
+
 __all__ = ["guess_evec", "check_guess"]
 
 
@@ -75,7 +77,7 @@ def check_guess(evec, key, mask=None):
     e = jnp.where(fac == 0.0, rnd, evec)
     e = jnp.where(mask[:, None], e, 0.0)
 
-    overlap = e @ e.T
+    overlap = mmT(e, e)
     diag = jnp.diagonal(overlap)
     diag_norm = jnp.sum(jnp.where(mask, diag, 0.0) ** 2) / jnp.maximum(mvalid, 1)
     outer = mask[:, None] & mask[None, :]

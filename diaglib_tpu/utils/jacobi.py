@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .mm import mm, mTm
+
 __all__ = ["jacobi_eigh", "jacobi_svd", "rank_argsort"]
 
 
@@ -151,8 +153,8 @@ def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True):
         # iteration, error eps32 -> eps32^4) so the f64 phase starts from
         # an orthogonal V
         for _ in range(2):
-            v0 = 1.5 * v0 - 0.5 * v0 @ (v0.T @ v0)
-        a1 = v0.T @ a @ v0
+            v0 = 1.5 * v0 - 0.5 * mm(v0, mTm(v0, v0))
+        a1 = mTm(v0, mm(a, v0))
         m, v = _jacobi_sweeps(0.5 * (a1 + a1.T), v0, max_sweeps)
     else:
         m, v = _jacobi_sweeps(a, jnp.eye(L, dtype=dtype), max_sweeps)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import jacobi as _jacobi
+from .mm import mm, mTm
 
 __all__ = ["resolve", "eigh", "svd", "cholesky", "eigh_gen"]
 
@@ -132,9 +133,9 @@ def eigh_gen(s, a, method: str = "device"):
         d, v = _jacobi.jacobi_eigh(a)
         inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(a.dtype).tiny))
         w_half = v * inv_sqrt[None, :]
-        std = w_half.T @ s @ w_half
+        std = mTm(w_half, mm(s, w_half))
         e, y = _jacobi.jacobi_eigh(0.5 * (std + std.T))
-        return e, w_half @ y
+        return e, mm(w_half, y)
 
     def cb(s_, a_):
         import scipy.linalg
