@@ -225,7 +225,8 @@ def bsr_matvec(m: BSRMatrix, *, force_reference: bool = False):
 
 
 def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
-                   dtype=jnp.float32, n_low_modes: int = 20) -> BSRMatrix:
+                   dtype=jnp.float32, n_low_modes: int = 20,
+                   off_scale: float = 0.3) -> BSRMatrix:
     """Random SPD-ish block-sparse test matrix with a dominant diagonal.
 
     Structure: the block diagonal plus ``blocks_per_row - 1`` symmetric
@@ -258,12 +259,12 @@ def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
     for (r, c) in pairs:
         if r == c:
             continue
-        blk = rng.standard_normal((block, block)) / np.sqrt(block)
+        blk = off_scale * rng.standard_normal((block, block)) / np.sqrt(block)
         off_blocks[(r, c)] = blk
         diag_boost[r] += np.abs(blk).sum(axis=1).max()
         diag_boost[c] += np.abs(blk).sum(axis=0).max()
     low_rows = rng.choice(n, size=min(n_low_modes, n), replace=False)
-    low_vals = np.linspace(0.5, 2.0, len(low_rows))
+    low_vals = np.linspace(0.5, 4.0, len(low_rows))
     sym_blocks = {}
     sym_rowmax = np.zeros(nbr)
     for r in range(nbr):

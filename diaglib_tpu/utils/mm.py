@@ -1,44 +1,104 @@
 """Precision-safe matmul helpers for TPU's emulated float64.
 
-Empirical finding on TPU (v5e, XLA AOT): an f64 ``dot_general`` whose
-operands hold *identical or highly correlated values* silently loses ~7
-decimal digits (|rel err| ~ 4e-9 instead of ~3e-15) — e.g. the Gram matrix
-``u @ u.T``, or ``v.T @ v`` even when the second operand is a bitwise copy
-passed as a separate argument.  Independent operands, and — decisively —
-the *same* values scaled by 2.0, are computed at full double precision.
-Multiplying one operand by 2 and halving the product are both exact in
-binary floating point, so
+Empirical findings on TPU (v5e, XLA AOT), isolated from a Davidson residual
+stall that only reproduced on TPU:
 
-    (a @ (2*b).T) * 0.5
+* an f64 ``dot_general`` whose operands hold *identical or highly
+  correlated values* (any Gram-like product ``u @ u.T``, ``v.T @ v`` — even
+  through optimization barriers or bitwise copies) silently loses ~7
+  decimal digits; independent operands are computed at full precision;
+* multiplying one operand by 2.0 restores full precision for contraction
+  lengths up to ~4096, but the defect returns for longer contractions;
+* chunking the contraction dimension to <= 4096 inside a ``lax.scan`` (so
+  XLA cannot re-fuse the partial dots) with the x2 scaling per chunk is
+  fully accurate at every length tested (verified to 65536).
 
-is a bit-for-bit valid implementation of ``a @ b.T`` that steers clear of
+Multiplying by 2 and halving are exact in binary floating point, and the
+f64 partial-sum additions are exact emulated adds, so these helpers are
+bit-sane implementations of ``a @ b``-style contractions that route around
 whatever value-correlated fast path the emulation takes.  Every Gram-like
-or rotation contraction in the solvers goes through these helpers; on
-non-f64 dtypes the scaling costs one fused elementwise pass and changes
-nothing.
-
-(See also utils/jacobi.py and utils/reduced.py for the other TPU-float64
-accommodations; this one was isolated by a stalled Davidson residual floor
-at ~30*eps_f32 that only reproduced on TPU.)
+or rotation contraction in the solvers goes through them; for non-f64
+dtypes and short contractions they reduce to a single scaled matmul.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["mm", "mmT", "mTm"]
 
+_CHUNK = 4096
 
-def mm(a, b):
-    """a @ b (contract last dim of a with first of b), f64-safe on TPU."""
+
+def _scaled(a, b):
     return (a @ (2.0 * b)) * 0.5
 
 
+def _needs_chunking(dtype, k):
+    return dtype == jnp.float64 and k > _CHUNK
+
+
+def _chunk_sizes(k):
+    nc = k // _CHUNK
+    return nc, nc * _CHUNK
+
+
 def mmT(a, b):
-    """a @ b.T — the Gram-product layout, f64-safe on TPU."""
-    return (a @ (2.0 * b).T) * 0.5
+    """a @ b.T (Gram layout, contracting the last axes), f64-safe on TPU."""
+    k = a.shape[-1]
+    if not _needs_chunking(a.dtype, k):
+        return (a @ (2.0 * b).T) * 0.5
+    nc, k_main = _chunk_sizes(k)
+    aa = a[..., :k_main].reshape(a.shape[0], nc, _CHUNK).transpose(1, 0, 2)
+    bb = b[..., :k_main].reshape(b.shape[0], nc, _CHUNK).transpose(1, 0, 2)
+
+    def body(acc, xy):
+        x, y = xy
+        return acc + (x @ (2.0 * y).T) * 0.5, None
+
+    acc0 = jnp.zeros((a.shape[0], b.shape[0]), a.dtype)
+    out, _ = jax.lax.scan(body, acc0, (aa, bb))
+    if k_main < k:
+        out = out + (a[..., k_main:] @ (2.0 * b[..., k_main:]).T) * 0.5
+    return out
+
+
+def mm(a, b):
+    """a @ b (contract last dim of a with first of b), f64-safe on TPU."""
+    k = a.shape[-1]
+    if not _needs_chunking(a.dtype, k):
+        return _scaled(a, b)
+    nc, k_main = _chunk_sizes(k)
+    aa = a[:, :k_main].reshape(a.shape[0], nc, _CHUNK).transpose(1, 0, 2)
+    bb = b[:k_main].reshape(nc, _CHUNK, b.shape[1])
+
+    def body(acc, xy):
+        x, y = xy
+        return acc + _scaled(x, y), None
+
+    acc0 = jnp.zeros((a.shape[0], b.shape[1]), a.dtype)
+    out, _ = jax.lax.scan(body, acc0, (aa, bb))
+    if k_main < k:
+        out = out + _scaled(a[:, k_main:], b[k_main:])
+    return out
 
 
 def mTm(a, b):
-    """a.T @ b, f64-safe on TPU."""
-    return (a.T @ (2.0 * b)) * 0.5
+    """a.T @ b (contract the first axes), f64-safe on TPU."""
+    k = a.shape[0]
+    if not _needs_chunking(a.dtype, k):
+        return (a.T @ (2.0 * b)) * 0.5
+    nc, k_main = _chunk_sizes(k)
+    aa = a[:k_main].reshape(nc, _CHUNK, a.shape[1])
+    bb = b[:k_main].reshape(nc, _CHUNK, b.shape[1])
+
+    def body(acc, xy):
+        x, y = xy
+        return acc + (x.T @ (2.0 * y)) * 0.5, None
+
+    acc0 = jnp.zeros((a.shape[1], b.shape[1]), a.dtype)
+    out, _ = jax.lax.scan(body, acc0, (aa, bb))
+    if k_main < k:
+        out = out + (a[k_main:].T @ (2.0 * b[k_main:])) * 0.5
+    return out

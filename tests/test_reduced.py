@@ -96,3 +96,22 @@ def test_davidson_with_each_reduced_solver(method):
 def test_bad_method():
     with pytest.raises(ValueError):
         reduced.eigh(jnp.eye(4), "bogus")
+
+
+@pytest.mark.parametrize("k", [100, 4096, 5000, 16384])
+def test_mm_helpers_match_numpy(k):
+    """mm/mmT/mTm must agree with numpy at any contraction length (the
+    chunked TPU-f64 workaround must not change results)."""
+    from diaglib_tpu.utils.mm import mm, mmT, mTm
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((7, k))
+    b = rng.standard_normal((5, k))
+    np.testing.assert_allclose(np.asarray(mmT(jnp.asarray(a), jnp.asarray(b))),
+                               a @ b.T, rtol=1e-12, atol=1e-11)
+    c = rng.standard_normal((k, 6))
+    np.testing.assert_allclose(np.asarray(mm(jnp.asarray(a), jnp.asarray(c))),
+                               a @ c, rtol=1e-12, atol=1e-11)
+    d = rng.standard_normal((k, 4))
+    np.testing.assert_allclose(np.asarray(mTm(jnp.asarray(c), jnp.asarray(d))),
+                               c.T @ d, rtol=1e-12, atol=1e-11)
