@@ -233,72 +233,87 @@ def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
     off-diagonal block pairs per row (band-ish, deterministic from key).
     Diagonal blocks are made diagonally dominant so the matrix is SPD and
     a shift-and-invert diagonal preconditioner works (mprec-style).
-    ``n_low_modes`` diagonal entries are pulled well below the bulk band so
-    the low end of the spectrum is a set of separated eigenvalues an
-    iterative solver can actually resolve (the bulk is a dense continuum).
+    ``n_low_modes`` diagonal entries are pulled well below the bulk band
+    (against one GLOBAL base — per-row bases would bury them in another
+    row's bulk at scale) so the low end of the spectrum is a set of
+    separated eigenvalues an iterative solver can actually resolve.
+
+    The sparsity pattern is built on the host (tiny); the block *data* is
+    generated and assembled on device — at production sizes the blocks are
+    gigabytes and a host round-trip would dominate setup time.
     """
     if n % block:
         raise ValueError("n must be divisible by block")
     nbr = n // block
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
-    entries = {}
-    for r in range(nbr):
-        entries[(r, r)] = None  # placeholder, filled below
+    B = block
+    # ---- host: sparsity pattern ----
+    pair_set = set()
     for r in range(nbr):
         for jj in range(blocks_per_row - 1):
             c = (r + 1 + jj * max(1, nbr // blocks_per_row)) % nbr
             lo, hi = min(r, c), max(r, c)
             if lo != hi:
-                entries[(lo, hi)] = None
+                pair_set.add((lo, hi))
+    pairs = sorted(pair_set)                      # upper-triangle pairs
+    n_pairs = len(pairs)
+    entries = [(r, r, -1, False) for r in range(nbr)]   # (row, col, pair, transposed)
+    for pidx, (r, c) in enumerate(pairs):
+        entries.append((r, c, pidx, False))
+        entries.append((c, r, pidx, True))
+    entries.sort(key=lambda t: (t[0], t[1]))
+    rows = np.asarray([t[0] for t in entries], np.int32)
+    cols = np.asarray([t[1] for t in entries], np.int32)
+    pair_of = np.asarray([t[2] for t in entries], np.int32)
+    transposed = np.asarray([t[3] for t in entries], bool)
+    nnzb = len(entries)
 
-    pairs = sorted(entries)
-    # random data; symmetric overall: store both (r,c) and (c,r)
-    all_rows, all_cols, all_blocks = [], [], []
-    diag_boost = np.zeros(nbr)
-    off_blocks = {}
-    for (r, c) in pairs:
-        if r == c:
-            continue
-        blk = off_scale * rng.standard_normal((block, block)) / np.sqrt(block)
-        off_blocks[(r, c)] = blk
-        diag_boost[r] += np.abs(blk).sum(axis=1).max()
-        diag_boost[c] += np.abs(blk).sum(axis=0).max()
-    low_rows = rng.choice(n, size=min(n_low_modes, n), replace=False)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    low_rows = np.sort(rng.choice(n, size=min(n_low_modes, n), replace=False))
     low_vals = np.linspace(0.5, 4.0, len(low_rows))
-    sym_blocks = {}
-    sym_rowmax = np.zeros(nbr)
-    for r in range(nbr):
-        sym = rng.standard_normal((block, block)) / np.sqrt(block)
-        sym = 0.5 * (sym + sym.T)
-        sym_blocks[r] = sym
-        sym_rowmax[r] = np.abs(sym).sum(axis=1).max()
-    # one GLOBAL diagonal base: per-row bases drift by the row's off-block
-    # mass, which at scale buries the implanted low modes inside another
-    # row's bulk band — separation must be global, not per-row
-    base = float((diag_boost + sym_rowmax).max()) + 1.0
-    for r in range(nbr):
-        diag_vals = base + 10.0 + 3.0 * rng.random(block)
-        for i, g in enumerate(low_rows):
-            if r * block <= g < (r + 1) * block:
-                diag_vals[g - r * block] = base + low_vals[i]
-        off_blocks[(r, r)] = sym_blocks[r] + np.diag(diag_vals)
 
-    items = []
-    for (r, c), blk in off_blocks.items():
-        items.append((r, c, blk))
-        if r != c:
-            items.append((c, r, blk.T))
-    items.sort(key=lambda t: (t[0], t[1]))
-    all_rows = [t[0] for t in items]
-    all_cols = [t[1] for t in items]
-    all_blocks = [t[2].T for t in items]  # pre-transposed storage
+    # ---- device: block data ----
+    k_off, k_sym, k_dia = jax.random.split(key, 3)
+    scale = jnp.asarray(off_scale / np.sqrt(B), dtype)
+    off = (scale * jax.random.normal(k_off, (max(n_pairs, 1), B, B), dtype))
+    sym = jax.random.normal(k_sym, (nbr, B, B), dtype) * jnp.asarray(
+        1.0 / np.sqrt(B), dtype)
+    sym = 0.5 * (sym + sym.transpose(0, 2, 1))
+
+    # diagonal dominance: per-row accumulated off-block row/col mass
+    row_mass = jnp.max(jnp.sum(jnp.abs(off), axis=2), axis=1)  # (n_pairs,)
+    col_mass = jnp.max(jnp.sum(jnp.abs(off), axis=1), axis=1)
+    p_rows = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    p_cols = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    boost = jnp.zeros((nbr,), dtype)
+    if n_pairs:
+        boost = boost.at[p_rows].add(row_mass).at[p_cols].add(col_mass)
+    sym_rowmax = jnp.max(jnp.sum(jnp.abs(sym), axis=2), axis=1)
+    base = jnp.max(boost + sym_rowmax) + 1.0
+
+    diag_vals = base + 10.0 + 3.0 * jax.random.uniform(k_dia, (n,), dtype)
+    diag_vals = diag_vals.at[jnp.asarray(low_rows)].set(
+        base + jnp.asarray(low_vals, dtype))
+    dia = sym + jax.vmap(jnp.diag)(diag_vals.reshape(nbr, B))
+
+    # ---- assemble blocks_t (entry e stores A(r_e, c_e)^T) ----
+    blocks_t = jnp.zeros((nnzb, B, B), dtype)
+    dpos = jnp.asarray(np.nonzero(pair_of < 0)[0], jnp.int32)
+    blocks_t = blocks_t.at[dpos].set(dia)  # diagonal blocks are symmetric
+    if n_pairs:
+        fwd = np.nonzero((pair_of >= 0) & ~transposed)[0]
+        bwd = np.nonzero((pair_of >= 0) & transposed)[0]
+        # A(r,c) = G  -> store G^T;  A(c,r) = G^T -> store G
+        blocks_t = blocks_t.at[jnp.asarray(fwd, jnp.int32)].set(
+            off[pair_of[fwd]].transpose(0, 2, 1))
+        blocks_t = blocks_t.at[jnp.asarray(bwd, jnp.int32)].set(
+            off[pair_of[bwd]])
 
     return BSRMatrix(
-        blocks_t=jnp.asarray(np.stack(all_blocks), dtype),
-        rows=jnp.asarray(all_rows, jnp.int32),
-        cols=jnp.asarray(all_cols, jnp.int32),
+        blocks_t=blocks_t,
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
         row_start=jnp.asarray(
-            np.searchsorted(np.asarray(all_rows), np.arange(nbr)), jnp.int32),
+            np.searchsorted(rows, np.arange(nbr)), jnp.int32),
         n=n,
         block=block,
     )
