@@ -169,27 +169,26 @@ def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
     )(m.rows, m.cols, first, x, m.blocks_t)
 
 
-def _spmm_reference(m: BSRMatrix, x, chunk: int = 64):
-    """Pure-jnp fallback: gather x block-columns, batched matmul, segment-add.
+def _segment_spmm(xb, rows, cols, blocks_t, nbr_out: int, chunk: int = 64,
+                  init=None):
+    """Gather x block-columns, batched matmul, segment-add into block rows.
+
+    xb: (nbc, k, B) source block-columns; rows/cols: (nnzb,) entry indices;
+    blocks_t: (nnzb, B, B) pre-transposed blocks.  Returns (nbr_out, k, B).
 
     Entries are processed in chunks inside a scan: one flat batched einsum
     over all nnzb blocks makes XLA materialize O(nnzb * B^2) temporaries
     (several copies under f64 emulation — tens of GB at production sizes).
     """
-    B = m.block
-    k = x.shape[0]
-    nbr = m.n // B
-    xb = x.reshape(k, nbr, B).transpose(1, 0, 2)           # (nbc, k, B)
-
-    nnzb = m.nnzb
+    k, B = xb.shape[1], xb.shape[2]
+    nnzb = blocks_t.shape[0]
     nchunk = -(-nnzb // chunk)
     pad = nchunk * chunk - nnzb
-    cols, rows, blocks = m.cols, m.rows, m.blocks_t
     if pad:
         # pad with a zero block pointing at col 0 / accumulating into row 0
         cols = jnp.pad(cols, (0, pad))
         rows = jnp.pad(rows, (0, pad))
-        blocks = jnp.pad(blocks, ((0, pad), (0, 0), (0, 0)))
+        blocks_t = jnp.pad(blocks_t, ((0, pad), (0, 0), (0, 0)))
 
     def body(acc, ch):
         c, r, blk = ch
@@ -199,11 +198,22 @@ def _spmm_reference(m: BSRMatrix, x, chunk: int = 64):
         prods = jnp.einsum("ekb,ebc->ekc", gathered, 2.0 * blk) * 0.5
         return acc.at[r].add(prods), None
 
-    init = jnp.zeros((nbr, k, B), x.dtype)
+    if init is None:
+        init = jnp.zeros((nbr_out, k, B), xb.dtype)
     out, _ = jax.lax.scan(
         body, init,
         (cols.reshape(nchunk, chunk), rows.reshape(nchunk, chunk),
-         blocks.reshape(nchunk, chunk, B, B)))
+         blocks_t.reshape(nchunk, chunk, B, B)))
+    return out
+
+
+def _spmm_reference(m: BSRMatrix, x, chunk: int = 64):
+    """Pure-jnp fallback built on the chunked segment-SpMM core."""
+    B = m.block
+    k = x.shape[0]
+    nbr = m.n // B
+    xb = x.reshape(k, nbr, B).transpose(1, 0, 2)           # (nbc, k, B)
+    out = _segment_spmm(xb, m.rows, m.cols, m.blocks_t, nbr, chunk)
     return out.transpose(1, 0, 2).reshape(k, m.n)
 
 
