@@ -81,10 +81,6 @@ class SolverOptions:
         return 10.0 * self.tol
 
 
-def _result_fields(extra=()):
-    return dataclasses.dataclass(frozen=True)
-
-
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SolverResult:
