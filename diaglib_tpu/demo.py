@@ -232,7 +232,7 @@ def main(argv=None):
     sub.add_parser("caslr")
     pn = sub.add_parser("nonsym")
     pn.add_argument("--side", default="c", choices=["r", "l", "s", "c"])
-    pn.add_argument("--variant", type=int, default=4, choices=[1, 3, 4])
+    pn.add_argument("--variant", type=int, default=4, choices=[1, 2, 3, 4])
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     {"symm": cmd_symm, "geneig": cmd_geneig, "scflr": cmd_scflr,

@@ -281,42 +281,49 @@ def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
     low_rows = np.sort(rng.choice(n, size=min(n_low_modes, n), replace=False))
     low_vals = np.linspace(0.5, 4.0, len(low_rows))
 
-    # ---- device: block data ----
-    k_off, k_sym, k_dia = jax.random.split(key, 3)
-    scale = jnp.asarray(off_scale / np.sqrt(B), dtype)
-    off = (scale * jax.random.normal(k_off, (max(n_pairs, 1), B, B), dtype))
-    sym = jax.random.normal(k_sym, (nbr, B, B), dtype) * jnp.asarray(
-        1.0 / np.sqrt(B), dtype)
-    sym = 0.5 * (sym + sym.transpose(0, 2, 1))
+    # ---- device: block data (jitted so XLA plans/reuses the multi-GB
+    # buffers; run eagerly, the .at[].set assembly chain keeps several
+    # full-size temporaries alive at once and OOMs at production sizes) ----
+    @jax.jit
+    def build(key):
+        k_off, k_sym, k_dia = jax.random.split(key, 3)
+        scale = jnp.asarray(off_scale / np.sqrt(B), dtype)
+        off = scale * jax.random.normal(k_off, (max(n_pairs, 1), B, B), dtype)
+        sym = jax.random.normal(k_sym, (nbr, B, B), dtype) * jnp.asarray(
+            1.0 / np.sqrt(B), dtype)
+        sym = 0.5 * (sym + sym.transpose(0, 2, 1))
 
-    # diagonal dominance: per-row accumulated off-block row/col mass
-    row_mass = jnp.max(jnp.sum(jnp.abs(off), axis=2), axis=1)  # (n_pairs,)
-    col_mass = jnp.max(jnp.sum(jnp.abs(off), axis=1), axis=1)
-    p_rows = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    p_cols = jnp.asarray([p[1] for p in pairs], jnp.int32)
-    boost = jnp.zeros((nbr,), dtype)
-    if n_pairs:
-        boost = boost.at[p_rows].add(row_mass).at[p_cols].add(col_mass)
-    sym_rowmax = jnp.max(jnp.sum(jnp.abs(sym), axis=2), axis=1)
-    base = jnp.max(boost + sym_rowmax) + 1.0
+        # diagonal dominance: per-row accumulated off-block row/col mass
+        row_mass = jnp.max(jnp.sum(jnp.abs(off), axis=2), axis=1)
+        col_mass = jnp.max(jnp.sum(jnp.abs(off), axis=1), axis=1)
+        p_rows = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        p_cols = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        boost = jnp.zeros((nbr,), dtype)
+        if n_pairs:
+            boost = boost.at[p_rows].add(row_mass).at[p_cols].add(col_mass)
+        sym_rowmax = jnp.max(jnp.sum(jnp.abs(sym), axis=2), axis=1)
+        base = jnp.max(boost + sym_rowmax) + 1.0
 
-    diag_vals = base + 10.0 + 3.0 * jax.random.uniform(k_dia, (n,), dtype)
-    diag_vals = diag_vals.at[jnp.asarray(low_rows)].set(
-        base + jnp.asarray(low_vals, dtype))
-    dia = sym + jax.vmap(jnp.diag)(diag_vals.reshape(nbr, B))
+        diag_vals = base + 10.0 + 3.0 * jax.random.uniform(k_dia, (n,), dtype)
+        diag_vals = diag_vals.at[jnp.asarray(low_rows)].set(
+            base + jnp.asarray(low_vals, dtype))
+        dia = sym + jax.vmap(jnp.diag)(diag_vals.reshape(nbr, B))
 
-    # ---- assemble blocks_t (entry e stores A(r_e, c_e)^T) ----
-    blocks_t = jnp.zeros((nnzb, B, B), dtype)
-    dpos = jnp.asarray(np.nonzero(pair_of < 0)[0], jnp.int32)
-    blocks_t = blocks_t.at[dpos].set(dia)  # diagonal blocks are symmetric
-    if n_pairs:
-        fwd = np.nonzero((pair_of >= 0) & ~transposed)[0]
-        bwd = np.nonzero((pair_of >= 0) & transposed)[0]
-        # A(r,c) = G  -> store G^T;  A(c,r) = G^T -> store G
-        blocks_t = blocks_t.at[jnp.asarray(fwd, jnp.int32)].set(
-            off[pair_of[fwd]].transpose(0, 2, 1))
-        blocks_t = blocks_t.at[jnp.asarray(bwd, jnp.int32)].set(
-            off[pair_of[bwd]])
+        # assemble blocks_t (entry e stores A(r_e, c_e)^T)
+        blocks_t = jnp.zeros((nnzb, B, B), dtype)
+        dpos = jnp.asarray(np.nonzero(pair_of < 0)[0], jnp.int32)
+        blocks_t = blocks_t.at[dpos].set(dia)  # diagonal blocks: symmetric
+        if n_pairs:
+            fwd = np.nonzero((pair_of >= 0) & ~transposed)[0]
+            bwd = np.nonzero((pair_of >= 0) & transposed)[0]
+            # A(r,c) = G  -> store G^T;  A(c,r) = G^T -> store G
+            blocks_t = blocks_t.at[jnp.asarray(fwd, jnp.int32)].set(
+                off[pair_of[fwd]].transpose(0, 2, 1))
+            blocks_t = blocks_t.at[jnp.asarray(bwd, jnp.int32)].set(
+                off[pair_of[bwd]])
+        return blocks_t
+
+    blocks_t = build(key)
 
     return BSRMatrix(
         blocks_t=blocks_t,

@@ -80,7 +80,10 @@ def casida_blocks(n: int, key, tdscf: bool = False, dtype=jnp.float64):
 def nonsym_matrix(n: int, key, variant: int = 4, dtype=jnp.float64):
     """Nonsymmetric test matrices (test_nonsym, main.f90:941-1092).
 
-    variant 1: P diag(1..n + 1) P^{-1} with random P (main.f90:951-989);
+    variant 1: P diag(3..n+2) P^{-1}, P = TᵀT SPD from shifted random T
+      (main.f90:951-989) — real spectrum {i+2};
+    variant 2: symmetric + random perturbation in [0, 0.01] with zero
+      diagonal (main.f90:991-1025);
     variant 3: plain symmetric (main.f90:1027-1039);
     variant 4: similarity-transformed symmetric A = e^{-T} S e^{T} with
       random T scaled to ||T||_F = 0.01 (main.f90:1041-1092, the hardcoded
@@ -89,9 +92,15 @@ def nonsym_matrix(n: int, key, variant: int = 4, dtype=jnp.float64):
     if variant == 3:
         return symm_matrix(n, dtype)
     if variant == 1:
-        p = jax.random.uniform(key, (n, n), dtype=dtype)
-        d = jnp.arange(1, n + 1, dtype=dtype) + 1.0
+        t = jax.random.uniform(key, (n, n), dtype=dtype)
+        t = t + jnp.diag(100.0 + jnp.arange(1, n + 1, dtype=dtype))
+        p = t.T @ t
+        d = jnp.arange(1, n + 1, dtype=dtype) + 2.0
         return p @ jnp.diag(d) @ jnp.linalg.inv(p)
+    if variant == 2:
+        pert = 0.01 * jax.random.uniform(key, (n, n), dtype=dtype)
+        pert = pert - jnp.diag(jnp.diagonal(pert))
+        return symm_matrix(n, dtype) + pert
     if variant == 4:
         s = symm_matrix(n, dtype)
         t = jax.random.uniform(key, (n, n), dtype=dtype)

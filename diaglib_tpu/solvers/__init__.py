@@ -3,6 +3,8 @@
 from .caslr import caslr, caslr_eff
 from .davidson import davidson, gen_david
 from .lobpcg import lobpcg
+from .mixed import davidson_ladder, lobpcg_ladder
 from .nonsym import nonsym
 
-__all__ = ["caslr", "caslr_eff", "davidson", "gen_david", "lobpcg", "nonsym"]
+__all__ = ["caslr", "caslr_eff", "davidson", "davidson_ladder", "gen_david",
+           "lobpcg", "lobpcg_ladder", "nonsym"]

@@ -99,6 +99,20 @@ def test_nonsym_symmetric_variant(problem):
                                rtol=0, atol=1e-7)
 
 
+@pytest.mark.parametrize("variant", [1, 2])
+def test_nonsym_other_variants(variant):
+    """variants 1 (P diag P^-1) and 2 (perturbed symmetric) vs dense eig."""
+    a = nonsym_matrix(N, jax.random.PRNGKey(0), variant=variant)
+    w = np.sort(scipy.linalg.eig(np.asarray(a), right=False).real)
+    opts = SolverOptions(n_targ=4, n_max=4, max_iter=200, tol=TOL, max_dav=10)
+    res = nonsym(dense_matvec(a), dense_matvec(a.T),
+                 diag_precnd(jnp.diagonal(a)), _guess(a, 4), opts,
+                 side="r", key=jax.random.PRNGKey(4))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:4]), np.asarray(w[:4]),
+                               rtol=0, atol=1e-6)
+
+
 def test_nonsym_bad_side(problem):
     a, _, _, _ = problem
     opts = SolverOptions(n_targ=2, n_max=2)
