@@ -86,29 +86,43 @@ def bench_spmm():
 
 
 def bench_davidson_bsr():
+    """Flagship: mixed-precision ladder (solvers/mixed.py) — f32 Pallas/MXU
+    stage then f64 refinement — to full f64 1e-10 rms convergence.
+
+    The operator is generated in f32 and upcast (exact), so both stages see
+    bitwise the same matrix and the result carries f64 guarantees."""
+    import dataclasses
+
+    from diaglib_tpu.solvers import davidson_ladder
+
     n, B, bpr = 65536, 512, 8
     n_want, n_eig = 10, 15
-    m = random_bsr_spd(n, B, bpr, jax.random.PRNGKey(0), dtype=jnp.float64)
-    diag = bsr_diagonal(m)
+    m32 = random_bsr_spd(n, B, bpr, jax.random.PRNGKey(0), dtype=jnp.float32)
+    m64 = dataclasses.replace(
+        m32, blocks_t=jax.jit(lambda b: b.astype(jnp.float64))(m32.blocks_t))
+    diag = bsr_diagonal(m64)
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
                          max_dav=10)
 
-    run = jax.jit(lambda m, g, k: davidson(
-        bsr_matvec(m), diag_precnd(bsr_diagonal(m)), g, opts, key=k))
+    run = jax.jit(lambda m32, m64, g, k: davidson_ladder(
+        bsr_matvec(m32), diag_precnd(diag.astype(jnp.float32)),
+        bsr_matvec(m64), diag_precnd(diag), g, opts,
+        lo_tol=2e-6, lo_iter=80, key=k))
     g = jnp.zeros((n_eig, n), jnp.float64)
 
     t0 = time.time()
-    res = jax.block_until_ready(run(m, g, jax.random.PRNGKey(1)))
-    log(f"davidson bsr n={n}: compile+first solve {time.time()-t0:.1f}s, "
+    res = jax.block_until_ready(run(m32, m64, g, jax.random.PRNGKey(1)))
+    log(f"davidson ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
         f"ok={bool(res.ok)} iters={int(res.n_iter)} matvecs={int(res.n_matvec)}")
     if not bool(res.ok):
         log("WARNING: flagship solve did not converge")
 
     t0 = time.time()
-    res = jax.block_until_ready(run(m, g, jax.random.PRNGKey(2)))
+    res = jax.block_until_ready(run(m32, m64, g, jax.random.PRNGKey(2)))
     dt = time.time() - t0
-    log(f"davidson bsr steady-state: {dt:.2f}s "
-        f"iters={int(res.n_iter)} ok={bool(res.ok)}")
+    f64_iters = int(jnp.sum(jnp.isfinite(res.rms_history[:, 0])))
+    log(f"davidson ladder steady-state: {dt:.2f}s total_iters={int(res.n_iter)} "
+        f"f64_iters={f64_iters} ok={bool(res.ok)}")
     return dt, bool(res.ok)
 
 

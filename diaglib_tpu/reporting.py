@@ -44,15 +44,17 @@ def convergence_table(result, n_targ: int, solver: str = "Davidson-Liu",
 
 
 def print_convergence_table(result, n_targ: int, solver: str = "Davidson-Liu",
-                            tol: float = None, file=sys.stdout):
-    print(convergence_table(result, n_targ, solver, tol), file=file)
+                            tol: float = None, file=None):
+    print(convergence_table(result, n_targ, solver, tol),
+          file=file or sys.stdout)
 
 
 def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
-                  file=sys.stdout):
+                  file=None):
     """Timing summary in the spirit of diaglib.f90:1835-1841 (the jitted
     loop fuses phases, so a single wall figure plus counters replaces the
     per-phase accumulators)."""
+    file = file or sys.stdout
     print(f"  timings for {solver} (wall):", file=file)
     print(f"    total:                {wall_s:12.4f} s", file=file)
     print(f"    iterations:           {n_iter:12d}", file=file)

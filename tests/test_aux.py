@@ -1,0 +1,81 @@
+"""Auxiliary subsystems (SURVEY.md §5): observability, numerical debugging,
+failure propagation, checkpoint/resume contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diaglib_tpu import SolverOptions
+from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+from diaglib_tpu.reporting import convergence_table, timing_report
+from diaglib_tpu.solvers import davidson
+
+N, N_WANT, N_EIG = 200, 3, 6
+OPTS = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=60, tol=1e-8)
+
+
+def _solve(opts=OPTS, key=1):
+    a = symm_matrix(N)
+    return a, davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                       jnp.zeros((N_EIG, N)), opts,
+                       key=jax.random.PRNGKey(key))
+
+
+def test_convergence_table_renders_reference_format():
+    _, res = _solve()
+    txt = convergence_table(res, N_WANT, "Davidson-Liu", 1e-8)
+    lines = txt.splitlines()
+    assert any("iter  root" in ln for ln in lines)
+    # one row per (iter, root); count data rows
+    data = [ln for ln in lines if ln.strip() and ln.strip()[0].isdigit()]
+    assert len(data) == int(res.n_iter) * N_WANT
+    # final rows must show converged roots
+    assert data[-1].rstrip().endswith("T")
+
+
+def test_timing_report_smoke(capsys):
+    _, res = _solve()
+    timing_report("davidson", 1.23, int(res.n_iter), int(res.n_matvec))
+    out = capsys.readouterr().out
+    assert "davidson" in out and "operator applications" in out
+
+
+def test_histories_match_final_state():
+    _, res = _solve()
+    it = int(res.n_iter)
+    np.testing.assert_allclose(np.asarray(res.eig_history[it - 1, :N_WANT]),
+                               np.asarray(res.eig[:N_WANT]), rtol=0,
+                               atol=1e-12)
+    assert np.all(np.isinf(np.asarray(res.rms_history[it:])))
+
+
+def test_solve_clean_under_debug_nans():
+    """The solver must not trip jax debug_nans on its masked/padded math
+    (SURVEY §5 race-detection row: debug_nans is the TPU-native sanitizer)."""
+    with jax.debug_nans(True):
+        _, res = _solve()
+    assert bool(res.ok)
+
+
+def test_non_convergence_is_a_status_not_a_crash():
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=3, tol=1e-14)
+    _, res = _solve(opts)
+    assert not bool(res.ok)
+    assert int(res.n_iter) == 3
+
+
+def test_checkpoint_resume_contract():
+    """Snapshot = the Ritz block; resuming from it converges in a few
+    iterations (the reference's warm-start contract, diaglib.f90:216-218)."""
+    a, partial = _solve(SolverOptions(n_targ=N_WANT, n_max=N_EIG,
+                                      max_iter=6, tol=1e-10))
+    assert not bool(partial.ok)
+    resumed = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                       partial.evec, OPTS, key=jax.random.PRNGKey(9))
+    assert bool(resumed.ok)
+    full = _solve(SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=100,
+                                tol=1e-8))[1]
+    assert int(resumed.n_iter) < int(full.n_iter)
+    np.testing.assert_allclose(np.asarray(resumed.eig[:N_WANT]),
+                               np.asarray(full.eig[:N_WANT]), rtol=0,
+                               atol=1e-9)
