@@ -118,10 +118,12 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         start = s.ldu + s.n_rst
         width_valid = ldu_new - start
 
-        block = gather_rows(s.space, start, n_max, count=width_valid)
-        ablock = matvec(block)
-        ablock = jnp.where((jnp.arange(n_max) < width_valid)[:, None], ablock, 0.0)
-        aspace = scatter_rows(s.aspace, ablock, start)
+        with jax.named_scope("matvec"):
+            block = gather_rows(s.space, start, n_max, count=width_valid)
+            ablock = matvec(block)
+            ablock = jnp.where((jnp.arange(n_max) < width_valid)[:, None],
+                               ablock, 0.0)
+            aspace = scatter_rows(s.aspace, ablock, start)
         n_matvec = s.n_matvec + s.n_act
 
         # incremental reduced-matrix rows: a_red[g, j] = aspace_g . space_j
@@ -132,14 +134,16 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         new_rows = jnp.where(col_ok[None, :], new_rows, 0.0)
         a_red = scatter_rows(s.a_red, new_rows, start)
 
-        sym = jnp.tril(a_red) + jnp.tril(a_red, -1).T
-        e_red, c_full = masked_eigh(sym, col_ok, method=options.reduced_solver)
-        eig = e_red[:n_max]
-        c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
+        with jax.named_scope("rayleigh-ritz"):
+            sym = jnp.tril(a_red) + jnp.tril(a_red, -1).T
+            e_red, c_full = masked_eigh(sym, col_ok,
+                                        method=options.reduced_solver)
+            eig = e_red[:n_max]
+            c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 
-        evec = mTm(c, s.space)
-        metric_evec = mTm(c, s.bspace) if gen_eig else evec
-        r = mTm(c, aspace) - eig[:, None] * metric_evec
+            evec = mTm(c, s.space)
+            metric_evec = mTm(c, s.bspace) if gen_eig else evec
+            r = mTm(c, aspace) - eig[:, None] * metric_evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms_new = jnp.linalg.norm(r, axis=1) / sqrtn
@@ -158,6 +162,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         n_frozen = jnp.sum(done, dtype=jnp.int32)
         n_act_new = (n_max - n_frozen).astype(jnp.int32)
 
+        @jax.named_scope("expand-ortho")
         def expand(_):
             shift = -eig[n_frozen]
             rblk = gather_rows(r, n_frozen, n_max, count=n_act_new)
