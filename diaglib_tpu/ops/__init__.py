@@ -8,6 +8,7 @@ from .bsr import (
     bsr_to_dense,
     random_bsr_spd,
 )
+from .bsr_sliced import SlicedBSR, slice_bsr, sliced_bsr_matvec
 from .dist_bsr import DistBSRMatrix, dist_bsr_matvec, distribute_bsr
 from .ell import (
     ELLMatrix,
@@ -17,6 +18,7 @@ from .ell import (
     ell_matvec,
     ell_to_dense,
 )
+from .slicing import sliced_mm, sliced_mmT, sliced_mTm
 
 __all__ = [
     "BSRMatrix",
@@ -34,4 +36,10 @@ __all__ = [
     "ell_matvec",
     "ell_to_dense",
     "random_bsr_spd",
+    "SlicedBSR",
+    "slice_bsr",
+    "sliced_bsr_matvec",
+    "sliced_mm",
+    "sliced_mmT",
+    "sliced_mTm",
 ]

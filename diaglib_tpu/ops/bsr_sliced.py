@@ -1,0 +1,271 @@
+"""Integer-sliced BSR operator: f64-accurate SpMM on the int8 MXU.
+
+The flagship matvec problem for float64 operators on TPU is twofold:
+
+* XLA's software-emulated f64 matmul path is ~10-40x slower than the MXU;
+* an f64 copy of a production-size operator (e.g. 17 GB at n=65536, B=512,
+  8 blocks/row) outgrows the 16 GB HBM of a v5e chip outright.
+
+This module stores the operator ONCE as Ozaki-style 6-bit integer slices
+(see ops/slicing.py for the scheme and its exactness argument): ``na``
+int8 slice planes on a per-(block-row, output-column) power-of-two grid —
+4.8 GB for the flagship operator at the default na=9 (vs 17 GB f64 +
+8.6 GB f32 copies).  One Pallas kernel then serves BOTH precision tiers
+of the mixed-precision ladder (solvers/mixed.py):
+
+* ``matvec`` (f64): x is sliced into ``nx`` (default 9) planes, and each
+  block entry contributes a single (nx*k, B) x (B, na*B) int8 MXU matmul.
+  All slice-pair products land in int32 exactly (|q| < 2^7, B <= 512,
+  blocks/row bounded — guarded in the builder); pairs are folded into
+  per-level int32 accumulators in-kernel, and the level sums are combined
+  into f64 outside (int32 -> f64 is exact, weights are powers of two).
+  Result accuracy matches a true f64 SpMM (~1e-16 relative).
+* ``matvec_f32``: same kernel shape with nx=3 top x-slices and the top
+  na<=3 A-slice planes (a contiguous prefix of the slice array — no data
+  movement), combined in f32.  Accuracy ~2^-18 relative — slightly better
+  than a plain f32 SpMM.
+
+Reference mapping: the user-side ``matvec`` callback contract is
+README.md:30-44 / diaglib.f90:62-72; this operator is the TPU-native
+high-performance instantiation of it (the reference never materializes
+the matrix; here the matrix lives only as integer slices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsr import BSRMatrix
+from .slicing import combine_weights, slice_scaled
+
+__all__ = ["SlicedBSR", "slice_bsr", "sliced_bsr_matvec"]
+
+_BITS = 6
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlicedBSR:
+    """BSR operator stored as int8 Ozaki slices.
+
+    slices:    (nnzb, B, na*B) int8 — entry e holds, side by side, the na
+               slice planes of T_e = A(r_e, c_e)^T (pre-transposed so the
+               kernel computes x_blk @ T_e).  Plane i occupies columns
+               [i*B, (i+1)*B) — a *contiguous prefix* of planes is a
+               lower-precision operator.
+    col_scale: (n,) f64 power-of-two grid scale per output column
+               (shared by all entries of a block row — required for exact
+               cross-entry accumulation).
+    diagonal:  (n,) f64 main diagonal of the original operator (for
+               mprec-style preconditioners; extracted before slicing).
+    rows/cols/row_start: as in BSRMatrix.
+    """
+
+    slices: jax.Array
+    col_scale: jax.Array
+    diagonal: jax.Array
+    rows: jax.Array
+    cols: jax.Array
+    row_start: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+    na: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nnzb(self) -> int:
+        return self.slices.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        return self.nnzb * self.block * self.block
+
+
+def slice_bsr(m: BSRMatrix, na: int | None = None,
+              chunk: int = 256) -> SlicedBSR:
+    """Build the sliced operator from a BSRMatrix (f32 or f64 blocks).
+
+    na defaults to 9 (54 bits): slice planes live on a grid aligned to the
+    per-(block-row, column) max, so entries whose own magnitude sits far
+    below that max need the deep planes to keep their full mantissa — even
+    for f32 source data.  (The f64 source mantissa itself is truncated
+    below 2^-54 of the per-column max, like rounding the operator once.)
+    The block data is processed in chunks of entries so peak temporary
+    memory stays bounded.
+    """
+    if na is None:
+        na = 9
+    B = m.block
+    nbr = m.n // B
+    # int32 exactness guard: per-level products |q_x q_a| < 2^14 summed over
+    # B * blocks_per_row * n_level_pairs terms must stay below 2^31
+    max_bpr = int(jnp.max(jnp.bincount(m.rows, length=nbr)))
+    import math
+    if 14 + math.ceil(math.log2(B * max_bpr * min(na, 9))) > 31:
+        raise ValueError(
+            f"block {B} x {max_bpr}/row overflows exact int32 accumulation")
+
+    # per-(block-row, column) power-of-two scale over all entries of the row
+    absmax = jnp.max(jnp.abs(m.blocks_t), axis=1)          # (nnzb, B)
+    colmax = jnp.zeros((nbr, B), m.blocks_t.dtype).at[m.rows].max(absmax)
+    colmax = colmax.astype(jnp.float64)
+    e = jnp.ceil(jnp.log2(jnp.where(colmax > 0.0, colmax, 1.0)))
+    s = jnp.exp2(e)
+    s = jnp.where(colmax > s, 2.0 * s, s)
+    col_scale = jnp.where(colmax > 0.0, s, 1.0)            # (nbr, B)
+
+    @jax.jit
+    def build(blocks_t, rows, col_scale):
+        nnzb = blocks_t.shape[0]
+        nchunk = -(-nnzb // chunk)
+        pad = nchunk * chunk - nnzb
+        bt = jnp.pad(blocks_t, ((0, pad), (0, 0), (0, 0)))
+        rr = jnp.pad(rows, (0, pad))
+
+        def body(_, ch):
+            blk, r = ch
+            t = blk.astype(jnp.float64) / col_scale[r][:, None, :]
+            sl = slice_scaled(t, n_slices=na, bits=_BITS)   # (na, c, B, B)
+            return None, jnp.concatenate(list(sl), axis=-1)  # (c, B, na*B)
+
+        _, out = jax.lax.scan(
+            body, None,
+            (bt.reshape(nchunk, chunk, B, B), rr.reshape(nchunk, chunk)))
+        return out.reshape(nchunk * chunk, B, na * B)[:nnzb]
+
+    # diagonal before slicing (exact from the original data)
+    from .bsr import bsr_diagonal
+    diagonal = bsr_diagonal(m).astype(jnp.float64)
+
+    return SlicedBSR(
+        slices=build(m.blocks_t, m.rows, col_scale),
+        col_scale=col_scale.reshape(-1),
+        diagonal=diagonal,
+        rows=m.rows, cols=m.cols, row_start=m.row_start,
+        n=m.n, block=B, na=na,
+    )
+
+
+def _sliced_kernel(nx: int, na: int, nlev: int, k: int, B: int):
+    """Kernel: per entry, one (nx*k, B) x (B, na*B) int8 dot, folded into
+    per-level int32 accumulators (exact; see module docstring)."""
+
+    def kern(rows_ref, cols_ref, first_ref, xs_ref, blk_ref, o_ref):
+        g = pl.program_id(0)
+
+        @pl.when(first_ref[g] == 1)
+        def _():
+            o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        c = cols_ref[g]
+        xb = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]   # (nx*k, B)
+        prod = jax.lax.dot_general(
+            xb, blk_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                # (nx*k, na*B)
+        for lev in range(nlev):
+            acc = None
+            for i in range(na):
+                j = lev - i
+                if 0 <= j < nx:
+                    term = prod[j * k:(j + 1) * k, i * B:(i + 1) * B]
+                    acc = term if acc is None else acc + term
+            if acc is not None:
+                o_ref[lev * k:(lev + 1) * k, :] += acc
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "nlev", "na_used",
+                                             "interpret"))
+def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
+                 interpret: bool = False):
+    """Level sums P: (nlev*k, n) int32 plus x scales; see callers."""
+    k, n = x.shape
+    B = m.block
+    na = na_used
+    xs, sx = _slice_x(x, nx)                                  # (nx*k, n) int8
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (m.rows[1:] != m.rows[:-1]).astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(m.nnzb,),
+        in_specs=[
+            pl.BlockSpec((nx * k, n),
+                         lambda e, rows, cols, first: (e * 0, e * 0),
+                         memory_space=pltpu.VMEM),
+            # block narrower than the array: a lower tier reads only the
+            # leading na*B slice-plane columns, with no data movement
+            pl.BlockSpec((1, B, na * B),
+                         lambda e, rows, cols, first: (e, e * 0, e * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nlev * k, B),
+                               lambda e, rows, cols, first: (e * 0, rows[e]),
+                               memory_space=pltpu.VMEM),
+    )
+    p = pl.pallas_call(
+        _sliced_kernel(nx, na, nlev, k, B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m.nnzb * nx * k * B * na * B,
+            bytes_accessed=m.nnzb * B * na * B + nlev * k * m.n * 4,
+            transcendentals=0,
+        ),
+    )(m.rows, m.cols, first, xs, m.slices)
+    return p, sx
+
+
+def _slice_x(x, nx):
+    """Row-aligned int8 slices of x, stacked along the sublane axis."""
+    from .slicing import slice_operand
+    k, n = x.shape
+    sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
+                           axis=-1, n_slices=nx, bits=_BITS)
+    return sl.reshape(nx * k, n), sx
+
+
+def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
+                      nlev: int | None = None, dtype=jnp.float64,
+                      interpret: bool = False):
+    """Matvec closure ``x: (k, n) -> (k, n)`` at the requested accuracy.
+
+    dtype=float64: full accuracy (nx=9 x-slices, all na A-planes, levels
+    to na+nx-2 capped at 10 — beyond that the terms fall under 2^-60).
+    dtype=float32: fast tier (nx=3, top min(na,3) A-planes, 4 levels,
+    ~2^-18 relative — better than a plain f32 SpMM).
+    """
+    if dtype == jnp.float64:
+        nx = 9 if nx is None else nx
+        na_used = m.na
+        nlev = min(na_used + nx - 1, 10) if nlev is None else nlev
+    else:
+        nx = 4 if nx is None else nx
+        na_used = min(m.na, 4)
+        nlev = min(4, na_used + nx - 1) if nlev is None else nlev
+    w = combine_weights(nlev, _BITS,
+                        jnp.float64 if dtype == jnp.float64 else jnp.float32)
+
+    def mv(x):
+        k, n = x.shape
+        p, sx = _sliced_spmm(m, x, nx=nx, nlev=nlev, na_used=na_used,
+                             interpret=interpret)
+        if dtype == jnp.float64:
+            lv = p.reshape(nlev, k, n).astype(jnp.float64)
+        else:
+            lv = p.reshape(nlev, k, n).astype(jnp.float32)
+        y = jnp.tensordot(w, lv, axes=1)                     # (k, n)
+        y = y * sx * m.col_scale[None, :].astype(y.dtype)
+        return y.astype(dtype)
+
+    return mv

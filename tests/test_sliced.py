@@ -1,0 +1,142 @@
+"""Integer-sliced (Ozaki) contraction and sliced-BSR operator tests.
+
+The slicing scheme replaces the reference's f64 dgemm/matvec work
+(diaglib.f90:1691, 1717-1729, 3543-3544) with exact int8-MXU slice
+products; these tests pin the accuracy claims against dense f64 oracles.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diaglib_tpu import SolverOptions
+from diaglib_tpu.ops.bsr import bsr_to_dense, random_bsr_spd
+from diaglib_tpu.ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
+from diaglib_tpu.ops.slicing import (
+    slice_operand,
+    sliced_mm,
+    sliced_mmT,
+    sliced_mTm,
+)
+from diaglib_tpu.problems import diag_precnd
+from diaglib_tpu.solvers import davidson
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _rand(key, shape, scale=1.0):
+    return scale * jax.random.normal(key, shape, jnp.float64)
+
+
+def test_slice_operand_reconstructs_f64():
+    x = _rand(KEY, (16, 64)) * jnp.exp(
+        4.0 * jax.random.normal(jax.random.PRNGKey(5), (16, 64), jnp.float64))
+    sl, sc = slice_operand(x, axis=-1)
+    rec = jnp.tensordot(
+        jnp.asarray([2.0 ** (-6 * (i + 1)) for i in range(sl.shape[0])],
+                    jnp.float64),
+        sl.astype(jnp.float64), axes=1) * sc
+    # truncation below ~2^-54 of the per-row scale (round-half per level x
+    # three split components)
+    err = np.max(np.abs(np.asarray(rec - x)), axis=-1)
+    bound = 2.0 ** (-53) * np.asarray(sc)[:, 0]
+    assert np.all(err <= bound + 1e-300)
+
+
+@pytest.mark.parametrize("f", [sliced_mm, sliced_mmT, sliced_mTm])
+def test_sliced_gemm_matches_f64(f):
+    ka, kb = jax.random.split(jax.random.PRNGKey(1))
+    a = _rand(ka, (48, 96))
+    b = _rand(kb, (48, 96))
+    if f is sliced_mm:
+        b2 = _rand(kb, (96, 32))
+        ref = np.asarray(a, np.float64) @ np.asarray(b2, np.float64)
+        out = f(a, b2)
+    elif f is sliced_mmT:
+        ref = np.asarray(a, np.float64) @ np.asarray(b, np.float64).T
+        out = f(a, b)
+    else:
+        ref = np.asarray(a, np.float64).T @ np.asarray(b, np.float64)
+        out = f(a, b)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-14 * scale)
+
+
+def test_sliced_gemm_correlated_operands():
+    """The case plain f32/bf16 splitting gets wrong: strongly value-
+    correlated operands (Gram matrices of nearly-parallel vectors)."""
+    a = _rand(KEY, (8, 512))
+    a = a.at[1:].set(a[0] + 1e-9 * a[1:])  # nearly identical rows
+    g_ref = np.asarray(a, np.float64) @ np.asarray(a, np.float64).T
+    g = sliced_mmT(a, a)
+    np.testing.assert_allclose(np.asarray(g), g_ref,
+                               atol=1e-14 * np.max(np.abs(g_ref)))
+
+
+def test_sliced_gemm_overflow_guard():
+    a = jnp.zeros((4, 1 << 18), jnp.float64)
+    with pytest.raises(ValueError, match="overflow"):
+        sliced_mm(a, a.T)
+
+
+def _small_sliced(dtype=jnp.float32):
+    m = random_bsr_spd(256, 64, 3, KEY, dtype=dtype)
+    dense = np.asarray(bsr_to_dense(m), np.float64)
+    return m, slice_bsr(m), dense
+
+
+def test_sliced_bsr_f64_tier_matches_dense():
+    _, sm, dense = _small_sliced()
+    x = _rand(jax.random.PRNGKey(2), (8, 256))
+    y = sliced_bsr_matvec(sm, interpret=True)(x)
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               atol=1e-14 * np.max(np.abs(ref)))
+    assert y.dtype == jnp.float64
+
+
+def test_sliced_bsr_f32_tier_beats_plain_f32():
+    _, sm, dense = _small_sliced()
+    x = _rand(jax.random.PRNGKey(3), (8, 256)).astype(jnp.float32)
+    y = sliced_bsr_matvec(sm, dtype=jnp.float32, interpret=True)(x)
+    ref = np.asarray(x, np.float64) @ dense.T
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert y.dtype == jnp.float32
+    assert rel < 2.0 ** (-17)
+
+
+def test_sliced_bsr_f64_source():
+    """f64 source blocks: the deep planes carry the full 53-bit mantissa."""
+    m, _, _ = _small_sliced()
+    m64 = dataclasses.replace(m, blocks_t=m.blocks_t.astype(jnp.float64))
+    sm = slice_bsr(m64)
+    dense = np.asarray(bsr_to_dense(m64), np.float64)
+    x = _rand(jax.random.PRNGKey(4), (4, 256))
+    y = sliced_bsr_matvec(sm, interpret=True)(x)
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               atol=1e-14 * np.max(np.abs(ref)))
+
+
+def test_sliced_bsr_diagonal_exact():
+    m, sm, dense = _small_sliced()
+    np.testing.assert_allclose(np.asarray(sm.diagonal), np.diagonal(dense),
+                               atol=0)
+
+
+def test_davidson_on_sliced_bsr():
+    """End-to-end: full-accuracy Davidson on the sliced operator."""
+    _, sm, dense = _small_sliced()
+    w_ref = np.linalg.eigh(dense)[0]
+    opts = SolverOptions(n_targ=3, n_max=6, max_iter=120, tol=1e-9,
+                         max_dav=10)
+    res = davidson(sliced_bsr_matvec(sm, interpret=True),
+                   diag_precnd(sm.diagonal),
+                   jnp.zeros((6, 256), jnp.float64), opts,
+                   key=jax.random.PRNGKey(7))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
+                               rtol=0, atol=1e-8 * max(1.0, abs(w_ref[0])))
