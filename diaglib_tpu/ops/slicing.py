@@ -136,25 +136,38 @@ def _slice_pair_products(xs, as_):
     return out.reshape(ns1, mdim, ns2, ndim)
 
 
-def _combine(prods, sx, sa, bits: int):
+def _combine(prods, sx, sa, bits: int, k: int):
     """f64 result from int32 slice products.
 
-    prods: (ns1, M, ns2, N) int32; sx: (M, 1) scales; sa: (1, N) scales.
-    int32 -> f64 conversion is exact and the weights are powers of two, so
-    the only rounding is the final f64 summation ordered from the smallest
-    diagonal up (~couple of ulps).
+    prods: (ns1, M, ns2, N) int32; sx: (M, 1) scales; sa: (1, N) scales;
+    k: contraction length (bounds each pair product for the int32 headroom
+    check below).  int32 -> f64 conversion is exact and the weights are
+    powers of two, so the only rounding is the final f64 summation ordered
+    from the smallest diagonal up (~couple of ulps).
     """
     ns1 = prods.shape[0]
     ns2 = prods.shape[2]
+    headroom = 31 - ((2 * bits + 2) + max(1, k).bit_length())
+
+    # fold same-level pair products first: int32 when the level sum provably
+    # fits (few f64 ops on wide outputs — the f64 work drops from ns1*ns2 to
+    # ns1+ns2 axpys), f64 otherwise (still exact: int32 -> f64 is exact and
+    # f64 addition of values < 2^53 cannot round here)
+    def level_sum(pairs, exact_i32):
+        acc = None
+        for p in pairs:
+            p = p if exact_i32 else p.astype(jnp.float64)
+            acc = p if acc is None else acc + p
+        return acc.astype(jnp.float64) if exact_i32 else acc
 
     total = jnp.zeros(prods.shape[1:2] + prods.shape[3:], jnp.float64)
     # deepest diagonals first so small terms accumulate before large ones
     for lev in range(ns1 + ns2 - 2, -1, -1):
-        for i in range(ns1):
-            j = lev - i
-            if 0 <= j < ns2:
-                w = 2.0 ** (-bits * (lev + 2))
-                total = total + prods[i, :, j, :].astype(jnp.float64) * w
+        pairs = [prods[i, :, lev - i, :]
+                 for i in range(ns1) if 0 <= lev - i < ns2]
+        exact_i32 = headroom >= (len(pairs) - 1).bit_length()
+        w = 2.0 ** (-bits * (lev + 2))
+        total = total + level_sum(pairs, exact_i32) * w
     return total * sx * sa
 
 
@@ -174,7 +187,7 @@ def sliced_mm(a, b, n_slices: int = _SLICES, bits: int = _BITS):
     xs, sx = slice_operand(a, axis=-1, n_slices=n_slices, bits=bits)
     bs, sb = slice_operand(b, axis=0, n_slices=n_slices, bits=bits)
     prods = _slice_pair_products(xs, bs)
-    return _combine(prods, sx, sb, bits)
+    return _combine(prods, sx, sb, bits, a.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("n_slices", "bits"))
@@ -185,7 +198,7 @@ def sliced_mmT(a, b, n_slices: int = _SLICES, bits: int = _BITS):
     bs, sb = slice_operand(b, axis=-1, n_slices=n_slices, bits=bits)
     # rhs (ns2, N, K) -> (ns2, K, N)
     prods = _slice_pair_products(xs, bs.transpose(0, 2, 1))
-    return _combine(prods, sx, sb.T, bits)
+    return _combine(prods, sx, sb.T, bits, a.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("n_slices", "bits"))
@@ -196,4 +209,4 @@ def sliced_mTm(a, b, n_slices: int = _SLICES, bits: int = _BITS):
     bs, sb = slice_operand(b, axis=0, n_slices=n_slices, bits=bits)
     # lhs (ns1, K, M) -> (ns1, M, K)
     prods = _slice_pair_products(xs.transpose(0, 2, 1), bs)
-    return _combine(prods, sx.T, sb, bits)
+    return _combine(prods, sx.T, sb, bits, a.shape[0])

@@ -201,11 +201,19 @@ def _ortho_or_qr(u, mask):
     """ortho_cd with QR fallback (diaglib.f90:3533-3549).
 
     Returns (u, growth, cd_ok): when ortho_cd fails, u comes from QR and
-    callers must compute the explicit overlap to test convergence.
+    callers must compute the explicit overlap to test convergence.  The QR
+    branch sits behind a ``lax.cond`` so the expensive full-height
+    Householder QR (~100x the Cholesky path on an emulated-f64 (k, n)
+    block) only runs when the shift ladder actually failed — like the
+    reference, where the fallback is a rarely-taken error path.
     """
     u_cd, growth, ok = ortho_cd(u, mask)
-    u_qr = ortho_qr(u, mask)
-    u_out = jnp.where(ok, u_cd, u_qr)
+    u_out = jax.lax.cond(
+        ok,
+        lambda uu: u_cd,
+        lambda uu: ortho_qr(uu, mask),
+        u,
+    )
     return u_out, growth, ok
 
 
