@@ -3,15 +3,15 @@
 The flagship matvec problem for float64 operators on TPU is twofold:
 
 * XLA's software-emulated f64 matmul path is ~10-40x slower than the MXU;
-* an f64 copy of a production-size operator (e.g. 17 GB at n=65536, B=512,
-  8 blocks/row) outgrows the 16 GB HBM of a v5e chip outright.
+* the mixed-precision ladder (solvers/mixed.py) otherwise needs TWO copies
+  of the operator (f64 + f32 — 6 GB at the flagship 503M-nnz config), and
+  scaling any dimension doubles against the 16 GB HBM of a v5e chip fast.
 
 This module stores the operator ONCE as Ozaki-style 6-bit integer slices
 (see ops/slicing.py for the scheme and its exactness argument): ``na``
 int8 slice planes on a per-(block-row, output-column) power-of-two grid —
-4.8 GB for the flagship operator at the default na=9 (vs 17 GB f64 +
-8.6 GB f32 copies).  One Pallas kernel then serves BOTH precision tiers
-of the mixed-precision ladder (solvers/mixed.py):
+4.2 GB for the flagship operator at the default na=9, serving BOTH
+precision tiers of the ladder from one Pallas kernel:
 
 * ``matvec`` (f64): x is sliced into ``nx`` (default 9) planes, and each
   block entry contributes a single (nx*k, B) x (B, na*B) int8 MXU matmul.

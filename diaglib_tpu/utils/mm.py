@@ -19,9 +19,18 @@ bit-sane implementations of ``a @ b``-style contractions that route around
 whatever value-correlated fast path the emulation takes.  Every Gram-like
 or rotation contraction in the solvers goes through them; for non-f64
 dtypes and short contractions they reduce to a single scaled matmul.
+
+On TPU, long f64 contractions additionally dispatch to the Ozaki
+integer-sliced path (ops/slicing.py): exact int8-MXU slice products beat
+the chunked emulated-f64 scan (measured 1.3x+ at K=65536 on v5e) at equal
+or better accuracy (no rounding inside the contraction at all).  Set
+``DIAGLIB_TPU_SLICED_MM=always|never`` to override the auto dispatch
+(``always`` is how the CPU test suite exercises the sliced route).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +38,20 @@ import jax.numpy as jnp
 __all__ = ["mm", "mmT", "mTm"]
 
 _CHUNK = 4096
+_SLICED_MIN_K = 8192
+
+
+def _use_sliced(dtype, k):
+    mode = os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto")
+    if mode == "never":
+        return False
+    # int32 exactness bound of the 6-bit slicing (ops/slicing.py): products
+    # < 2^14, k of them must stay below 2^31
+    exact = 14 + max(1, k).bit_length() <= 31
+    if mode == "always":
+        return dtype == jnp.float64 and exact
+    return (dtype == jnp.float64 and k >= _SLICED_MIN_K and exact
+            and jax.default_backend() == "tpu")
 
 
 def _scaled(a, b):
@@ -47,6 +70,9 @@ def _chunk_sizes(k):
 def mmT(a, b):
     """a @ b.T (Gram layout, contracting the last axes), f64-safe on TPU."""
     k = a.shape[-1]
+    if _use_sliced(a.dtype, k):
+        from ..ops.slicing import sliced_mmT
+        return sliced_mmT(a, b)
     if not _needs_chunking(a.dtype, k):
         return (a @ (2.0 * b).T) * 0.5
     nc, k_main = _chunk_sizes(k)
@@ -67,6 +93,9 @@ def mmT(a, b):
 def mm(a, b):
     """a @ b (contract last dim of a with first of b), f64-safe on TPU."""
     k = a.shape[-1]
+    if _use_sliced(a.dtype, k):
+        from ..ops.slicing import sliced_mm
+        return sliced_mm(a, b)
     if not _needs_chunking(a.dtype, k):
         return _scaled(a, b)
     nc, k_main = _chunk_sizes(k)
@@ -87,6 +116,9 @@ def mm(a, b):
 def mTm(a, b):
     """a.T @ b (contract the first axes), f64-safe on TPU."""
     k = a.shape[0]
+    if _use_sliced(a.dtype, k):
+        from ..ops.slicing import sliced_mTm
+        return sliced_mTm(a, b)
     if not _needs_chunking(a.dtype, k):
         return (a.T @ (2.0 * b)) * 0.5
     nc, k_main = _chunk_sizes(k)

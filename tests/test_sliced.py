@@ -140,3 +140,35 @@ def test_davidson_on_sliced_bsr():
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
                                rtol=0, atol=1e-8 * max(1.0, abs(w_ref[0])))
+
+
+def test_mm_sliced_dispatch(monkeypatch):
+    """utils/mm.py routes long f64 contractions to the sliced path when
+    DIAGLIB_TPU_SLICED_MM=always (the TPU auto-dispatch, testable on CPU)."""
+    from diaglib_tpu.utils import mm as mmmod
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(9))
+    a = _rand(ka, (7, 8192))
+    b = _rand(kb, (5, 8192))
+    c = _rand(kb, (8192, 6))
+    monkeypatch.setenv("DIAGLIB_TPU_SLICED_MM", "always")
+    got_T = mmmod.mmT(a, b)
+    got = mmmod.mm(a, c)
+    got_mTm = mmmod.mTm(a.T, b.T)
+    monkeypatch.setenv("DIAGLIB_TPU_SLICED_MM", "never")
+    ref_T = mmmod.mmT(a, b)
+    ref = mmmod.mm(a, c)
+    ref_mTm = mmmod.mTm(a.T, b.T)
+    for g, r in [(got_T, ref_T), (got, ref), (got_mTm, ref_mTm)]:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-13 * np.max(np.abs(np.asarray(r))))
+
+
+def test_mm_sliced_dispatch_overflow_falls_back(monkeypatch):
+    """k beyond the int32-exactness bound must not dispatch (even 'always')."""
+    from diaglib_tpu.utils import mm as mmmod
+
+    monkeypatch.setenv("DIAGLIB_TPU_SLICED_MM", "always")
+    a = jnp.ones((2, 1 << 18), jnp.float64)
+    out = mmmod.mmT(a, a)  # would raise in sliced_mmT; must take chunked path
+    np.testing.assert_allclose(np.asarray(out), float(1 << 18))
