@@ -128,7 +128,7 @@ def bench_davidson_bsr():
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
-        lo_tol=2e-6, lo_iter=80, key=k))
+        lo_tol=2e-6, lo_iter=35, key=k))
     g = jnp.zeros((n_eig, n), jnp.float64)
 
     t0 = time.time()

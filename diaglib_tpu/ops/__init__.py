@@ -10,6 +10,11 @@ from .bsr import (
 )
 from .bsr_sliced import SlicedBSR, slice_bsr, sliced_bsr_matvec
 from .dist_bsr import DistBSRMatrix, dist_bsr_matvec, distribute_bsr
+from .dist_sliced import (
+    DistSlicedBSR,
+    dist_sliced_matvec,
+    distribute_sliced_bsr,
+)
 from .ell import (
     ELLMatrix,
     ell_diagonal,
@@ -28,8 +33,11 @@ __all__ = [
     "bsr_from_dense",
     "bsr_matvec",
     "bsr_to_dense",
+    "DistSlicedBSR",
     "dist_bsr_matvec",
+    "dist_sliced_matvec",
     "distribute_bsr",
+    "distribute_sliced_bsr",
     "ell_diagonal",
     "ell_from_coo",
     "ell_from_dense",

@@ -20,10 +20,10 @@ precision tiers of the ladder from one Pallas kernel:
   per-level int32 accumulators in-kernel, and the level sums are combined
   into f64 outside (int32 -> f64 is exact, weights are powers of two).
   Result accuracy matches a true f64 SpMM (~1e-16 relative).
-* ``matvec_f32``: same kernel shape with nx=3 top x-slices and the top
-  na<=3 A-slice planes (a contiguous prefix of the slice array — no data
-  movement), combined in f32.  Accuracy ~2^-18 relative — slightly better
-  than a plain f32 SpMM.
+* ``matvec_f32``: same kernel shape with nx=4 top x-slices and the top
+  na<=4 A-slice planes (a contiguous prefix of the slice array — no data
+  movement), combined in f32.  Accuracy ~2^-18 relative — orders of
+  magnitude better than a plain f32 SpMM at the same speed (BASELINE.md).
 
 Reference mapping: the user-side ``matvec`` callback contract is
 README.md:30-44 / diaglib.f90:62-72; this operator is the TPU-native
@@ -235,24 +235,33 @@ def _slice_x(x, nx):
     return sl.reshape(nx * k, n), sx
 
 
+def _tier_params(m_na: int, dtype, nx: int | None, nlev: int | None):
+    """(nx, na_used, nlev) for the requested accuracy tier.
+
+    float64: full accuracy (nx=9 x-slices, all na A-planes, levels to
+    na+nx-2 capped at 10 — beyond that the terms fall under 2^-60).
+    float32: fast tier (nx=4, top min(na,4) A-planes, 4 levels,
+    ~2^-18 relative — better than a plain f32 SpMM).
+    """
+    if dtype == jnp.float64:
+        nx = 9 if nx is None else nx
+        na_used = m_na
+        nlev = min(na_used + nx - 1, 10) if nlev is None else nlev
+    else:
+        nx = 4 if nx is None else nx
+        na_used = min(m_na, 4)
+        nlev = min(4, na_used + nx - 1) if nlev is None else nlev
+    return nx, na_used, nlev
+
+
 def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
                       nlev: int | None = None, dtype=jnp.float64,
                       interpret: bool = False):
     """Matvec closure ``x: (k, n) -> (k, n)`` at the requested accuracy.
 
-    dtype=float64: full accuracy (nx=9 x-slices, all na A-planes, levels
-    to na+nx-2 capped at 10 — beyond that the terms fall under 2^-60).
-    dtype=float32: fast tier (nx=3, top min(na,3) A-planes, 4 levels,
-    ~2^-18 relative — better than a plain f32 SpMM).
+    See :func:`_tier_params` for the tier definitions.
     """
-    if dtype == jnp.float64:
-        nx = 9 if nx is None else nx
-        na_used = m.na
-        nlev = min(na_used + nx - 1, 10) if nlev is None else nlev
-    else:
-        nx = 4 if nx is None else nx
-        na_used = min(m.na, 4)
-        nlev = min(4, na_used + nx - 1) if nlev is None else nlev
+    nx, na_used, nlev = _tier_params(m.na, dtype, nx, nlev)
     w = combine_weights(nlev, _BITS,
                         jnp.float64 if dtype == jnp.float64 else jnp.float32)
 
