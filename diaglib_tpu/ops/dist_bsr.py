@@ -47,6 +47,39 @@ from .bsr import BSRMatrix, _segment_spmm
 __all__ = ["DistBSRMatrix", "distribute_bsr", "dist_bsr_matvec"]
 
 
+def _ring_offset_groups(rows, cols, nbr_loc: int, D: int, pad_row: int):
+    """Group entries by ring offset ``s = (shard(col) - shard(row)) mod D``.
+
+    Host-side (numpy) pattern reorganization shared by the plain and the
+    integer-sliced distributed operators.  Returns ``(steps, groups)`` where
+    ``groups[i] = (idx, lr, lc)`` are (D, P_i) int32 arrays per nonempty
+    offset ``steps[i]``: global entry index, LOCAL block row on the owning
+    shard, LOCAL block col on the source x shard.  Rows per device stay
+    sorted (``rows`` is sorted globally).  Padding slots get
+    ``idx = len(rows)`` (one past the end), ``lr = pad_row``, ``lc = 0``.
+    """
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    dest = rows // nbr_loc
+    src = cols // nbr_loc
+    s_of = (src - dest) % D
+    steps = tuple(sorted(set(int(s) for s in s_of)))
+    groups = []
+    for s in steps:
+        counts = [int(np.sum((dest == d) & (s_of == s))) for d in range(D)]
+        p = max(counts)
+        idx = np.full((D, p), len(rows), np.int32)
+        lr = np.full((D, p), pad_row, np.int32)
+        lc = np.zeros((D, p), np.int32)
+        for d in range(D):
+            sel = np.nonzero((dest == d) & (s_of == s))[0]
+            idx[d, : len(sel)] = sel
+            lr[d, : len(sel)] = rows[sel] - d * nbr_loc
+            lc[d, : len(sel)] = cols[sel] % nbr_loc
+        groups.append((idx, lr, lc))
+    return steps, groups
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DistBSRMatrix:
@@ -87,30 +120,15 @@ def distribute_bsr(m: BSRMatrix, n_shards: int) -> DistBSRMatrix:
         raise ValueError(f"block rows ({nbr}) must divide over {D} shards")
     nbr_loc = nbr // D
 
-    rows = np.asarray(m.rows)
-    cols = np.asarray(m.cols)
-    dest = rows // nbr_loc                      # owning shard of each entry
-    src = cols // nbr_loc                       # x shard each entry consumes
-    s_of = (src - dest) % D
-    steps = tuple(sorted(set(int(s) for s in s_of)))
+    steps, groups = _ring_offset_groups(m.rows, m.cols, nbr_loc, D,
+                                        pad_row=0)
 
     # index nnzb points at an appended all-zero block (safe padding target)
     zero_blk = jnp.zeros((1, B, B), m.blocks_t.dtype)
     blocks_ext = jnp.concatenate([m.blocks_t, zero_blk], axis=0)
 
     blocks_l, lrows_l, lcols_l = [], [], []
-    for s in steps:
-        counts = [int(np.sum((dest == d) & (s_of == s))) for d in range(D)]
-        p = max(counts)
-        idx = np.full((D, p), m.nnzb, np.int32)
-        lr = np.zeros((D, p), np.int32)
-        lc = np.zeros((D, p), np.int32)
-        for d in range(D):
-            sel = np.nonzero((dest == d) & (s_of == s))[0]
-            # m.rows is sorted, so sel is already row-sorted
-            idx[d, : len(sel)] = sel
-            lr[d, : len(sel)] = rows[sel] - d * nbr_loc
-            lc[d, : len(sel)] = cols[sel] % nbr_loc
+    for idx, lr, lc in groups:
         blocks_l.append(jnp.take(blocks_ext, jnp.asarray(idx), axis=0))
         lrows_l.append(jnp.asarray(lr))
         lcols_l.append(jnp.asarray(lc))

@@ -80,9 +80,14 @@ def distribute_sliced_bsr(ms: SlicedBSR, n_shards: int) -> DistSlicedBSR:
     """Partition a SlicedBSR's block rows over ``n_shards`` mesh slots.
 
     Same ring-offset grouping as :func:`~diaglib_tpu.ops.dist_bsr.
-    distribute_bsr`: the sparsity pattern is reorganized on the host
-    (index arrays only); the int8 slice data is re-gathered on device.
+    distribute_bsr` (shared helper).  The int8 slice data is gathered on
+    the HOST: at production scale the store is several GiB, and a device
+    gather would transiently hold ~3x of it in HBM (source + padded copy
+    per offset group).  Callers should drop their ``ms`` reference after
+    distributing to reclaim the single-device store.
     """
+    from .dist_bsr import _ring_offset_groups
+
     B = ms.block
     nbr = ms.n // B
     D = int(n_shards)
@@ -90,34 +95,20 @@ def distribute_sliced_bsr(ms: SlicedBSR, n_shards: int) -> DistSlicedBSR:
         raise ValueError(f"block rows ({nbr}) must divide over {D} shards")
     nbr_loc = nbr // D
 
-    rows = np.asarray(ms.rows)
-    cols = np.asarray(ms.cols)
-    dest = rows // nbr_loc
-    src = cols // nbr_loc
-    s_of = (src - dest) % D
-    steps = tuple(sorted(set(int(s) for s in s_of)))
-
-    # index nnzb points at an appended all-zero slice block (safe padding)
-    zero_blk = jnp.zeros((1,) + ms.slices.shape[1:], ms.slices.dtype)
-    slices_ext = jnp.concatenate([ms.slices, zero_blk], axis=0)
+    # padding entries point at the extra output row nbr_loc
+    steps, groups = _ring_offset_groups(ms.rows, ms.cols, nbr_loc, D,
+                                        pad_row=nbr_loc)
+    slices_np = np.asarray(ms.slices)  # one host copy of the store
 
     slices_l, lrows_l, lcols_l, first_l = [], [], [], []
-    for s in steps:
-        counts = [int(np.sum((dest == d) & (s_of == s))) for d in range(D)]
-        p = max(counts)
-        idx = np.full((D, p), ms.nnzb, np.int32)
-        lr = np.full((D, p), nbr_loc, np.int32)  # padding -> extra row
-        lc = np.zeros((D, p), np.int32)
-        for d in range(D):
-            sel = np.nonzero((dest == d) & (s_of == s))[0]
-            # ms.rows is sorted, so sel is already row-sorted
-            idx[d, : len(sel)] = sel
-            lr[d, : len(sel)] = rows[sel] - d * nbr_loc
-            lc[d, : len(sel)] = cols[sel] % nbr_loc
-        fi = np.zeros((D, p), np.int32)
+    for idx, lr, lc in groups:
+        pad = idx == ms.nnzb
+        arr = slices_np[np.where(pad, 0, idx)]
+        arr[pad] = 0  # all-zero slice blocks at padding slots
+        fi = np.zeros(lr.shape, np.int32)
         fi[:, 0] = 1
         fi[:, 1:] = (lr[:, 1:] != lr[:, :-1]).astype(np.int32)
-        slices_l.append(jnp.take(slices_ext, jnp.asarray(idx), axis=0))
+        slices_l.append(jnp.asarray(arr))
         lrows_l.append(jnp.asarray(lr))
         lcols_l.append(jnp.asarray(lc))
         first_l.append(jnp.asarray(fi))

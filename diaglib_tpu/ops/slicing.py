@@ -171,10 +171,15 @@ def _combine(prods, sx, sa, bits: int, k: int):
     return total * sx * sa
 
 
+def fits_exact(k: int, bits: int = _BITS) -> bool:
+    """True iff a length-k contraction of ``bits``-bit slice products
+    accumulates exactly in int32 (products < 2^{2*bits+2}, k of them must
+    stay below 2^31)."""
+    return (2 * bits + 2) + max(1, k).bit_length() <= 31
+
+
 def _check_exact(k: int, bits: int):
-    # int32 exactness: products are < 2^{2*bits+2}; k of them must stay
-    # below 2^31
-    if (2 * bits + 2) + max(1, k).bit_length() > 31:
+    if not fits_exact(k, bits):
         raise ValueError(
             f"contraction length {k} overflows exact int32 accumulation "
             f"at {bits}-bit slices")

@@ -25,7 +25,9 @@ integer-sliced path (ops/slicing.py): exact int8-MXU slice products beat
 the chunked emulated-f64 scan (measured 1.3x+ at K=65536 on v5e) at equal
 or better accuracy (no rounding inside the contraction at all).  Set
 ``DIAGLIB_TPU_SLICED_MM=always|never`` to override the auto dispatch
-(``always`` is how the CPU test suite exercises the sliced route).
+(``always`` is how the CPU test suite exercises the sliced route).  The
+variable is read at trace time: jit caches do not key on env vars, so set
+it before the first compilation of a solver.
 """
 
 from __future__ import annotations
@@ -42,15 +44,16 @@ _SLICED_MIN_K = 8192
 
 
 def _use_sliced(dtype, k):
+    # NOTE: read at TRACE time — jit caches do not key on env vars, so
+    # changing DIAGLIB_TPU_SLICED_MM after a solver is compiled has no
+    # effect on the cached executable
     mode = os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto")
     if mode == "never":
         return False
-    # int32 exactness bound of the 6-bit slicing (ops/slicing.py): products
-    # < 2^14, k of them must stay below 2^31
-    exact = 14 + max(1, k).bit_length() <= 31
+    from ..ops.slicing import fits_exact
     if mode == "always":
-        return dtype == jnp.float64 and exact
-    return (dtype == jnp.float64 and k >= _SLICED_MIN_K and exact
+        return dtype == jnp.float64 and fits_exact(k)
+    return (dtype == jnp.float64 and k >= _SLICED_MIN_K and fits_exact(k)
             and jax.default_backend() == "tpu")
 
 
