@@ -70,7 +70,13 @@ def cmd_symm(args):
     n_eig = min(2 * n_want, n_want + 5)
     a = symm_matrix(n)
     diag = jnp.diagonal(a)
-    w, v = jnp.linalg.eigh(a)
+    # dense oracle on the host (scipy), like the other commands: the
+    # reference's lapack.txt is a host dsyev (main.f90:321-342), and an
+    # on-device emulated-f64 eigh takes minutes on TPU
+    import scipy.linalg
+
+    ww, vv = scipy.linalg.eigh(np.asarray(a, np.float64))
+    w, v = jnp.asarray(ww), jnp.asarray(vv)
     _write_results(os.path.join(args.out_dir, "lapack.txt"), w, v.T, n_want)
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=args.itmax,
                          tol=tol, max_dav=args.m_max)

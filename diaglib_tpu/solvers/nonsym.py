@@ -7,11 +7,15 @@ left pass seeded from the right eigenvectors, diaglib.f90:2880-2903) — with a
 final ``svd_biortho`` of (evec_l, evec_r).
 
 TPU split of the work: all O(n) linear algebra (matvecs, Gram updates, Ritz
-vectors, residuals, orthogonalization) stays on device inside a
-``lax.while_loop``; the small nonsymmetric reduced eigenproblem — which TPUs
-have no native support for — runs in one ``jax.pure_callback`` to LAPACK
-``dgeev`` on the host (SURVEY.md §7: the reduced matrix is tiny and
-replicated, the host roundtrip is the pragmatic choice).  That callback also
+vectors, residuals, orthogonalization) stays on device; the small
+nonsymmetric reduced eigenproblem — which TPUs have no native support for —
+runs on the host as LAPACK ``dgeev`` (SURVEY.md §7: the reduced matrix is
+tiny and replicated, the host roundtrip is the pragmatic choice).  Two
+drivers reach it: ``driver="jit"`` keeps the whole loop in one
+``lax.while_loop`` with a ``jax.pure_callback``; ``driver="host"``
+orchestrates the loop from Python with the device steps jit-compiled —
+required on runtimes whose PJRT has no host callbacks (the axon TPU plugin
+raises UNIMPLEMENTED for send/recv callbacks).  The host solve also
 performs the two serial post-processing steps of the reference:
 
 * ``sort_eigenpairs`` — ascending selection sort on the real parts with
@@ -205,12 +209,20 @@ class _NonsymState(NamedTuple):
 
 
 def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
-                 key, sharding=None):
+                 key, sharding=None, driver: str = "auto"):
     """One one-sided Davidson pass.
 
     ``op`` is A for the right pass and A^T for the left pass; ``use_left``
     selects which set of reduced eigenvectors drives the Ritz vectors and
     residuals (VL for the left pass, diaglib.f90:2712, 2717).
+
+    ``driver`` picks how the host dgeev is reached: "jit" keeps the whole
+    loop in one ``lax.while_loop`` with a ``pure_callback`` (callback-capable
+    runtimes); "host" orchestrates the loop from Python — the device steps
+    before/after the reduced solve stay jit-compiled, the (tiny, replicated)
+    reduced matrix round-trips to the host — for runtimes whose PJRT has no
+    host send/recv callbacks (e.g. the axon TPU plugin fails with
+    UNIMPLEMENTED).  "auto" = "host" on TPU, "jit" elsewhere.
     """
     from ..parallel.sharding import constrainers
 
@@ -238,14 +250,14 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
     def cond(s: _NonsymState):
         return (~s.ok) & (s.it < max_iter)
 
-    def body(s: _NonsymState):
+    def step_pre(s: _NonsymState):
+        """Device work up to the reduced solve: matvec block + Gram."""
         ldu_new = s.ldu + s.n_act
         amask = jnp.arange(n_max) < s.n_act
         blk = gather_rows(s.space, s.ldu, n_max, count=s.n_act)
         ablk = op(blk)
         ablk = jnp.where(amask[:, None], ablk, 0.0)
         aspace = scatter_rows(s.aspace, ablk, s.ldu)
-        n_matvec = s.n_matvec + s.n_act
 
         col_ok = prefix_mask(lda_pad, ldu_new)
         outer = col_ok[:, None] & col_ok[None, :]
@@ -260,11 +272,12 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
 
         n_sort = jnp.where(s.fresh, n_max, n_max + s.n_act)
         do_homing = (~s.fresh)
-        wr, vr, vl, found_im = jax.pure_callback(
-            host, out_spec, g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l,
-            vmap_method="sequential",
-        )
+        return aspace, g, ldu_new, n_sort, do_homing
 
+    def step_post(s: _NonsymState, aspace, ldu_new, wr, vr, vl, found_im):
+        """Device work after the reduced solve: Ritz, residuals, expand."""
+        n_matvec = s.n_matvec + s.n_act
+        col_ok = prefix_mask(lda_pad, ldu_new)
         eig = wr[:n_max]
         cr = vr[:, :n_max]
         cl = vl[:, :n_max]
@@ -329,6 +342,14 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
+    def body(s: _NonsymState):
+        aspace, g, ldu_new, n_sort, do_homing = step_pre(s)
+        wr, vr, vl, found_im = jax.pure_callback(
+            host, out_spec, g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l,
+            vmap_method="sequential",
+        )
+        return step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
+
     z = vec(jnp.zeros((lda_pad, n), dtype))
     init = _NonsymState(
         it=jnp.asarray(0, jnp.int32),
@@ -352,11 +373,31 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
         max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
     )
-    return jax.lax.while_loop(cond, body, init)
+    if driver == "auto":
+        driver = "host" if jax.default_backend() == "tpu" else "jit"
+    if driver == "jit":
+        return jax.lax.while_loop(cond, body, init)
+    if driver != "host":
+        raise ValueError("driver must be 'auto', 'jit' or 'host'")
+
+    # host-orchestrated loop: device steps jit-compiled, reduced dgeev on
+    # the host between them (no PJRT callback support needed)
+    pre_j = jax.jit(step_pre)
+    post_j = jax.jit(step_post)
+    s = init
+    while bool(cond(s)):
+        aspace, g, ldu_new, n_sort, do_homing = pre_j(s)
+        wr, vr, vl, fim = host(
+            np.asarray(g), int(ldu_new), int(n_sort), bool(do_homing),
+            np.asarray(s.copy_r), np.asarray(s.copy_l))
+        s = post_j(s, aspace, ldu_new, jnp.asarray(wr), jnp.asarray(vr),
+                   jnp.asarray(vl), jnp.asarray(bool(fim)))
+    return s
 
 
 def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
-           side: str = "c", *, key=None, sharding=None):
+           side: str = "c", *, key=None, sharding=None,
+           driver: str = "auto"):
     """Two-sided Davidson for a real nonsymmetric matrix.
 
     Args:
@@ -367,6 +408,10 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
         seeded from the converged right eigenvectors, diaglib.f90:2892-2901).
       side: 'r' right only, 'l' left only, 's'/'c' both consecutively (the
         reference demotes 's' to consecutive, diaglib.f90:2398-2406).
+      driver: "jit" (single lax.while_loop, needs a callback-capable PJRT),
+        "host" (Python-orchestrated loop, works on runtimes without host
+        callbacks, e.g. the axon TPU plugin), or "auto" (host on TPU).
+        With "host" the call itself must not be wrapped in jax.jit.
 
     Returns NonsymResult.  For 'c'/'s', ``ok`` additionally requires the
     left-pass eigenvalues to match the right-pass ones within tol
@@ -386,7 +431,8 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
     if side == "r" or side == "l":
         op = matvec if side == "r" else matvec_l
         out = _nonsym_pass(op, precnd, evec_guess, options,
-                           use_left=(side == "l"), key=kr, sharding=sharding)
+                           use_left=(side == "l"), key=kr, sharding=sharding,
+                           driver=driver)
         zero_v = jnp.zeros((n_max, n), dtype)
         zero_h = jnp.zeros_like(out.rms_h)
         is_r = side == "r"
@@ -404,10 +450,12 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
 
     # consecutive: right pass, then left pass seeded from evec_r
     out_r = _nonsym_pass(matvec, precnd, evec_guess, options,
-                         use_left=False, key=kr, sharding=sharding)
+                         use_left=False, key=kr, sharding=sharding,
+                         driver=driver)
     guess_l, _, _ = ortho_cd(out_r.evec)
     out_l = _nonsym_pass(matvec_l, precnd, guess_l, options,
-                         use_left=True, key=kl, sharding=sharding)
+                         use_left=True, key=kl, sharding=sharding,
+                         driver=driver)
 
     targ = jnp.arange(n_max) < options.n_targ
     eig_match = jnp.max(jnp.where(targ, out_r.eig - out_l.eig, 0.0)) <= options.tol

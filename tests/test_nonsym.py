@@ -119,3 +119,30 @@ def test_nonsym_bad_side(problem):
     with pytest.raises(ValueError):
         nonsym(dense_matvec(a), dense_matvec(a.T),
                diag_precnd(jnp.diagonal(a)), _guess(a, 2), opts, side="x")
+
+
+def test_host_driver_matches_jit_driver():
+    """driver='host' (Python-orchestrated loop for callback-less PJRT
+    runtimes, e.g. the axon TPU plugin) must reproduce the jit driver."""
+    import numpy as np
+
+    from diaglib_tpu.problems import (
+        dense_matvec,
+        diag_precnd,
+        nonsym_matrix,
+    )
+
+    a = nonsym_matrix(200, variant=4, key=jax.random.PRNGKey(1))
+    diag = jnp.diagonal(a)
+    opts = SolverOptions(n_targ=4, n_max=4, max_iter=200, tol=1e-8,
+                         max_dav=10)
+    guess = jnp.zeros((4, 200), jnp.float64)
+    kw = dict(side="c", key=jax.random.PRNGKey(3))
+    res_j = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(diag),
+                   guess, opts, driver="jit", **kw)
+    res_h = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(diag),
+                   guess, opts, driver="host", **kw)
+    assert bool(res_j.ok) and bool(res_h.ok)
+    assert int(res_h.n_iter) == int(res_j.n_iter)
+    np.testing.assert_allclose(np.asarray(res_h.eig[:4]),
+                               np.asarray(res_j.eig[:4]), rtol=0, atol=1e-12)
