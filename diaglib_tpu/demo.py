@@ -166,12 +166,16 @@ def _casida(args, tdscf):
     _write_results(os.path.join(args.out_dir, "caslr.txt"),
                    res.eig, res.evec / np.sqrt(2.0), n_want)
 
-    res, dt = _solve_time(lambda: caslr(
-        lrprec=pc_std, evec_guess=guess, options=opts, algorithm=1, **ops))
-    print_convergence_table(res, n_want, "Casida LR (Helmich-Paris)", tol)
-    timing_report("caslr/hp", dt, int(res.n_iter), int(res.n_matvec))
-    _write_results(os.path.join(args.out_dir, "cashp.txt"),
-                   res.eig, res.evec / np.sqrt(2.0), n_want)
+    if not tdscf:
+        # the reference runs Helmich-Paris only in test_caslr (i_alg=1 set
+        # at main.f90:688, reset at 693); test_scflr never exercises it
+        res, dt = _solve_time(lambda: caslr(
+            lrprec=pc_std, evec_guess=guess, options=opts, algorithm=1,
+            **ops))
+        print_convergence_table(res, n_want, "Casida LR (Helmich-Paris)", tol)
+        timing_report("caslr/hp", dt, int(res.n_iter), int(res.n_matvec))
+        _write_results(os.path.join(args.out_dir, "cashp.txt"),
+                       res.eig, res.evec / np.sqrt(2.0), n_want)
 
     res, dt = _solve_time(lambda: caslr_eff(
         lrprec=pc_eff, evec_guess=guess, options=opts, **ops))

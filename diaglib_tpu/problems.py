@@ -96,7 +96,11 @@ def nonsym_matrix(n: int, key, variant: int = 4, dtype=jnp.float64):
         t = t + jnp.diag(100.0 + jnp.arange(1, n + 1, dtype=dtype))
         p = t.T @ t
         d = jnp.arange(1, n + 1, dtype=dtype) + 2.0
-        return p @ jnp.diag(d) @ jnp.linalg.inv(p)
+        # A = P diag(d) P^{-1} with P SPD: Cholesky solve instead of
+        # jnp.linalg.inv — XLA TPU implements LU only for f32/c64
+        cf = jax.scipy.linalg.cho_factor(p)
+        m = p * d[None, :]
+        return jax.scipy.linalg.cho_solve(cf, m.T).T
     if variant == 2:
         pert = 0.01 * jax.random.uniform(key, (n, n), dtype=dtype)
         pert = pert - jnp.diag(jnp.diagonal(pert))
@@ -105,10 +109,25 @@ def nonsym_matrix(n: int, key, variant: int = 4, dtype=jnp.float64):
         s = symm_matrix(n, dtype)
         t = jax.random.uniform(key, (n, n), dtype=dtype)
         t = t * (0.01 / jnp.linalg.norm(t))
-        expt = jax.scipy.linalg.expm(t)
-        expmt = jax.scipy.linalg.expm(-t)
+        expt = _matexp_series(t)
+        expmt = _matexp_series(-t)
         return expmt @ s @ expt
     raise ValueError(f"unsupported nonsym variant {variant}")
+
+
+def _matexp_series(t, terms: int = 12):
+    """e^T by the truncated Taylor series, like the reference's ``matexp``
+    (main.f90:1180-1214).  Matmuls only — TPU-friendly, unlike
+    ``jax.scipy.linalg.expm`` whose Pade solves need an f64 LU that XLA
+    TPU does not implement.  ||T|| = 0.01 here, so 12 terms reach
+    ~1e-33 truncation (far below f64 eps)."""
+    n = t.shape[0]
+    acc = jnp.eye(n, dtype=t.dtype)
+    term = jnp.eye(n, dtype=t.dtype)
+    for k in range(1, terms + 1):
+        term = (term @ t) / k
+        acc = acc + term
+    return acc
 
 
 def dense_matvec(a):

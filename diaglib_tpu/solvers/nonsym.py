@@ -467,8 +467,12 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
     # eigenvalue<->vector pairing.  The pairing-preserving equivalent is a
     # solve: evec_l <- O^{-1} evec_l gives evec_l @ evec_r^T = I exactly
     # while perturbing each vector only at the size of its residual.
+    # QR-based solve: XLA TPU implements LU only for f32/c64, so
+    # jnp.linalg.solve on the f64 overlap cannot compile there
     overlap = mmT(out_l.evec, out_r.evec)
-    evec_l = jnp.linalg.solve(overlap, out_l.evec)
+    q, r_ = jnp.linalg.qr(overlap)
+    evec_l = jax.scipy.linalg.solve_triangular(
+        r_, mTm(q, out_l.evec), lower=False)
     evec_r = out_r.evec
 
     return NonsymResult(
