@@ -149,6 +149,30 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
     return eig, up, um
 
 
+def _bucketed_reduced(solve_fn, epmat, emmat, smat, mask, ldu, n_max,
+                      lda_pad):
+    """Run an (ep, em, s)-reduced solve on the smallest prefix bucket
+    covering ``ldu`` (mask is a prefix mask; the genuine block is the
+    leading ldu x ldu corner, so the bucketed solve is exact at L^3
+    instead of lda_pad^3 — SURVEY.md §7 "bucket by active-count")."""
+    from ..utils.masking import prefix_buckets
+
+    sizes = prefix_buckets(lda_pad, 2 * n_max)
+
+    def make(L):
+        def run(_):
+            eig, up, um = solve_fn(epmat[:L, :L], emmat[:L, :L],
+                                   smat[:L, :L], mask[:L])
+            padn = ((0, lda_pad - L), (0, 0))
+            return eig, jnp.pad(up, padn), jnp.pad(um, padn)
+        return run
+
+    if len(sizes) == 1:
+        return make(lda_pad)(None)
+    idx = jnp.sum(ldu > jnp.asarray(sizes[:-1], jnp.int32)).astype(jnp.int32)
+    return jax.lax.switch(idx, [make(L) for L in sizes], None)
+
+
 class _CaslrState(NamedTuple):
     it: jax.Array
     vp: jax.Array
@@ -238,12 +262,13 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         smat = mmT(s.vm, bvm)
 
         if algorithm == 0:
-            eig, up, um = _reduced_inverse_pencil(
-                epmat, emmat, smat, col_ok, n_max, options.reduced_solver)
+            solve = lambda ep, em, sz, m: _reduced_inverse_pencil(  # noqa: E731
+                ep, em, sz, m, n_max, options.reduced_solver)
         else:
-            eig, up, um = _reduced_helmich_paris(
-                epmat, emmat, smat, col_ok, ldu_new, n_max,
-                options.reduced_solver)
+            solve = lambda ep, em, sz, m: _reduced_helmich_paris(  # noqa: E731
+                ep, em, sz, m, ldu_new, n_max, options.reduced_solver)
+        eig, up, um = _bucketed_reduced(solve, epmat, emmat, smat, col_ok,
+                                        ldu_new, n_max, lda_pad)
 
         eigp = mTm(up, s.vp)
         eigm = mTm(um, s.vm)
@@ -388,15 +413,34 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
 
         col_ok = prefix_mask(lda_pad, ldu_new)
         smat = _pad_zero(mmT(s.vm, bvm), col_ok)
-        sts = mTm(smat, smat)
-        # pad with a large negative diagonal so the genuine (>=0) spectrum
-        # occupies the trailing ascending slots (we need the LARGEST here,
-        # diaglib.f90:1309-1312)
-        pad = -(jnp.max(jnp.sum(jnp.abs(sts), axis=1)) + 1.0)
-        sts = sts + jnp.diag(jnp.where(col_ok, 0.0, pad))
-        e_red, c_full = reduced.eigh(sts, options.reduced_solver)
-        inv_w = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # eig = 1/w, descending
-        up = c_full[:, ::-1][:, :n_max]
+
+        # reduced solve on the smallest prefix bucket covering ldu_new
+        # (genuine block is the leading corner; L^3 instead of lda_pad^3)
+        def reduced_at(L):
+            def run(_):
+                s_l = smat[:L, :L]
+                sts = mTm(s_l, s_l)
+                # pad with a large negative diagonal so the genuine (>=0)
+                # spectrum occupies the trailing ascending slots (we need
+                # the LARGEST here, diaglib.f90:1309-1312)
+                pad = -(jnp.max(jnp.sum(jnp.abs(sts), axis=1)) + 1.0)
+                sts = sts + jnp.diag(jnp.where(col_ok[:L], 0.0, pad))
+                e_red, c_full = reduced.eigh(sts, options.reduced_solver)
+                iw = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # 1/w, descending
+                u = jnp.pad(c_full[:, ::-1][:, :n_max],
+                            ((0, lda_pad - L), (0, 0)))
+                return iw, u
+            return run
+
+        from ..utils.masking import prefix_buckets
+        sizes = prefix_buckets(lda_pad, 2 * n_max)
+        if len(sizes) == 1:
+            inv_w, up = reduced_at(lda_pad)(None)
+        else:
+            idx = jnp.sum(ldu_new > jnp.asarray(sizes[:-1], jnp.int32)
+                          ).astype(jnp.int32)
+            inv_w, up = jax.lax.switch(idx, [reduced_at(L) for L in sizes],
+                                       None)
         um = mm(smat, up) / inv_w[None, :]
 
         eigp = mTm(up, s.vp)

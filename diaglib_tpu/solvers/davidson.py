@@ -48,7 +48,7 @@ from ..utils.guess import check_guess
 from ..utils.mm import mm, mTm, mmT
 from ..utils.masking import (
     gather_rows,
-    masked_eigh,
+    masked_eigh_bucketed,
     prefix_lock,
     prefix_mask,
     scatter_rows,
@@ -136,8 +136,12 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
 
         with jax.named_scope("rayleigh-ritz"):
             sym = jnp.tril(a_red) + jnp.tril(a_red, -1).T
-            e_red, c_full = masked_eigh(sym, col_ok,
-                                        method=options.reduced_solver)
+            # solve only the smallest prefix bucket covering ldu_new: the
+            # reduced matrix grows one block per iteration, so early
+            # iterations pay L^3 at L ~ n_max instead of lda_pad
+            e_red, c_full = masked_eigh_bucketed(
+                sym, col_ok, ldu_new, lo=2 * n_max,
+                method=options.reduced_solver)
             eig = e_red[:n_max]
             c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 

@@ -88,6 +88,54 @@ def masked_eigh(a, mask, method: str = "device"):
     return reduced.eigh(a_m, method)
 
 
+def prefix_buckets(full: int, lo: int):
+    """Static solve sizes {lo, 2lo, 4lo, ...} clipped to ``full``.
+
+    Reduced problems grow by one block per iteration, so most solves only
+    need the small leading corner; bucketing the solve size caps the wasted
+    cubic work at 8x while keeping everything static-shaped (SURVEY.md §7
+    hard-parts: "bucket by active-count powers")."""
+    sizes = []
+    s = max(1, int(lo))
+    while s < full:
+        sizes.append(s)
+        s *= 2
+    sizes.append(full)
+    return tuple(sizes)
+
+
+def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
+    """masked_eigh on the smallest prefix bucket covering ``ldu``.
+
+    ``mask`` must be a PREFIX mask with population ``ldu`` (the solvers'
+    ``col_ok``): the genuine block lives in the leading ldu x ldu corner,
+    so solving the leading L x L bucket (L >= ldu) is exact at L^3 cost
+    instead of full^3.  Positions beyond the bucket get the same
+    above-spectrum pad eigenvalues as masked diagonal entries (the pad is
+    computed from the full genuine region, so the two pad families agree)
+    and zero eigenvector columns.
+    """
+    full = a.shape[0]
+    sizes = prefix_buckets(full, lo)
+    if len(sizes) == 1:
+        return masked_eigh(a, mask, method)
+    outer = mask[:, None] & mask[None, :]
+    pad = _pad_value(a, outer)
+
+    def make(L):
+        def run(_):
+            w, v = masked_eigh(a[:L, :L], mask[:L], method)
+            w_out = jnp.concatenate(
+                [w, jnp.full((full - L,), 1.0, a.dtype) * pad])
+            v_out = jnp.zeros((full, full), a.dtype).at[:L, :L].set(v)
+            return w_out, v_out
+        return run
+
+    idx = jnp.sum(
+        ldu > jnp.asarray(sizes[:-1], jnp.int32)).astype(jnp.int32)
+    return jax.lax.switch(idx, [make(L) for L in sizes], None)
+
+
 def masked_svd(a, mask, method: str = "device"):
     """SVD of the masked square matrix, genuine triplets leading.
 
