@@ -157,9 +157,13 @@ def bench_toy():
         dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
     g = jnp.zeros((n_eig, n), jnp.float64)
     res = jax.block_until_ready(run(a, g, jax.random.PRNGKey(1)))
-    t0 = time.time()
     res = jax.block_until_ready(run(a, g, jax.random.PRNGKey(2)))
-    log(f"toy n=1000 (reference protocol): {time.time()-t0:.2f}s "
+    rep = 10
+    t0 = time.time()
+    for i in range(rep):
+        res = jax.block_until_ready(run(a, g, jax.random.PRNGKey(2 + i)))
+    log(f"toy n=1000 (reference protocol): "
+        f"{(time.time()-t0)/rep*1e3:.1f} ms/solve "
         f"iters={int(res.n_iter)} ok={bool(res.ok)}")
 
 

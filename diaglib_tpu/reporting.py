@@ -56,6 +56,7 @@ def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
     per-phase accumulators)."""
     file = file or sys.stdout
     print(f"  timings for {solver} (wall):", file=file)
-    print(f"    total:                {wall_s:12.4f} s", file=file)
+    print(f"    total:                {wall_s:12.4f} s"
+          "  (first call: includes XLA compile)", file=file)
     print(f"    iterations:           {n_iter:12d}", file=file)
     print(f"    operator applications:{n_matvec:12d}", file=file)
