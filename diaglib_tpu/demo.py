@@ -168,7 +168,8 @@ def _casida(args, tdscf):
 
     if not tdscf:
         # the reference runs Helmich-Paris only in test_caslr (i_alg=1 set
-        # at main.f90:688, reset at 693); test_scflr never exercises it
+        # at main.f90:688, reset at 693); test_scflr never exercises it.
+        # (caslr(algorithm=1) does also work on the tdscf blocks.)
         res, dt = _solve_time(lambda: caslr(
             lrprec=pc_std, evec_guess=guess, options=opts, algorithm=1,
             **ops))
