@@ -86,7 +86,8 @@ def cmd_symm(args):
         dense_matvec(a), diag_precnd(diag), guess, opts,
         key=jax.random.PRNGKey(args.seed)))
     print_convergence_table(res, n_want, "LOBPCG", tol)
-    timing_report("lobpcg", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("lobpcg", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "lobpcg.txt"),
                    res.eig, res.evec, n_want)
 
@@ -94,7 +95,8 @@ def cmd_symm(args):
         dense_matvec(a), diag_precnd(diag), guess, opts,
         key=jax.random.PRNGKey(args.seed)))
     print_convergence_table(res, n_want, "Davidson-Liu", tol)
-    timing_report("davidson", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("davidson", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "davidson.txt"),
                    res.eig, res.evec, n_want)
     _check(res, w, n_want, tol)
@@ -119,7 +121,8 @@ def cmd_geneig(args):
         dense_matvec(a), diag_precnd(diag), guess, opts,
         bvec=dense_matvec(s), key=jax.random.PRNGKey(args.seed)))
     print_convergence_table(res, n_want, "LOBPCG (generalized)", tol)
-    timing_report("lobpcg", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("lobpcg", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "lobpcg.txt"),
                    res.eig, res.evec, n_want)
 
@@ -127,7 +130,8 @@ def cmd_geneig(args):
         dense_matvec(a), diag_precnd(diag), dense_matvec(s), guess, opts,
         key=jax.random.PRNGKey(args.seed)))
     print_convergence_table(res, n_want, "Generalized Davidson", tol)
-    timing_report("gen_david", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("gen_david", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "davidson.txt"),
                    res.eig, res.evec, n_want)
     _check(res, jnp.asarray(w), n_want, tol)
@@ -162,7 +166,8 @@ def _casida(args, tdscf):
     res, dt = _solve_time(lambda: caslr(
         lrprec=pc_std, evec_guess=guess, options=opts, algorithm=0, **ops))
     print_convergence_table(res, n_want, "Casida LR (inverse pencil)", tol)
-    timing_report("caslr", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("caslr", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "caslr.txt"),
                    res.eig, res.evec / np.sqrt(2.0), n_want)
 
@@ -174,14 +179,16 @@ def _casida(args, tdscf):
             lrprec=pc_std, evec_guess=guess, options=opts, algorithm=1,
             **ops))
         print_convergence_table(res, n_want, "Casida LR (Helmich-Paris)", tol)
-        timing_report("caslr/hp", dt, int(res.n_iter), int(res.n_matvec))
+        timing_report("caslr/hp", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
         _write_results(os.path.join(args.out_dir, "cashp.txt"),
                        res.eig, res.evec / np.sqrt(2.0), n_want)
 
     res, dt = _solve_time(lambda: caslr_eff(
         lrprec=pc_eff, evec_guess=guess, options=opts, **ops))
     print_convergence_table(res, n_want, "Casida LR (efficient)", tol)
-    timing_report("caslr_eff", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("caslr_eff", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "caslr_eff.txt"),
                    res.eig, res.evec / 2.0, n_want)
     _check(res, omega, n_want, tol)
@@ -212,7 +219,8 @@ def cmd_nonsym(args):
         side=args.side, key=jax.random.PRNGKey(args.seed)))
     print("  two-sided nonsymmetric Davidson "
           f"(side={args.side}), ok={bool(res.ok)}")
-    timing_report("nonsym", dt, int(res.n_iter), int(res.n_matvec))
+    timing_report("nonsym", dt, int(res.n_iter), int(res.n_matvec),
+                  includes_compile=True)
     _write_results(os.path.join(args.out_dir, "nonsym.txt"),
                    res.eig, res.evec_r if args.side != 'l' else res.evec_l,
                    n_want)

@@ -50,13 +50,14 @@ def print_convergence_table(result, n_targ: int, solver: str = "Davidson-Liu",
 
 
 def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
-                  file=None):
+                  file=None, includes_compile: bool = False):
     """Timing summary in the spirit of diaglib.f90:1835-1841 (the jitted
     loop fuses phases, so a single wall figure plus counters replaces the
-    per-phase accumulators)."""
+    per-phase accumulators).  Set ``includes_compile`` when the timed call
+    was a cold first run."""
     file = file or sys.stdout
+    note = "  (includes XLA compile)" if includes_compile else ""
     print(f"  timings for {solver} (wall):", file=file)
-    print(f"    total:                {wall_s:12.4f} s"
-          "  (first call: includes XLA compile)", file=file)
+    print(f"    total:                {wall_s:12.4f} s{note}", file=file)
     print(f"    iterations:           {n_iter:12d}", file=file)
     print(f"    operator applications:{n_matvec:12d}", file=file)

@@ -155,9 +155,7 @@ def _bucketed_reduced(solve_fn, epmat, emmat, smat, mask, ldu, n_max,
     covering ``ldu`` (mask is a prefix mask; the genuine block is the
     leading ldu x ldu corner, so the bucketed solve is exact at L^3
     instead of lda_pad^3 — SURVEY.md §7 "bucket by active-count")."""
-    from ..utils.masking import prefix_buckets
-
-    sizes = prefix_buckets(lda_pad, 2 * n_max)
+    from ..utils.masking import bucketed_switch
 
     def make(L):
         def run(_):
@@ -167,10 +165,7 @@ def _bucketed_reduced(solve_fn, epmat, emmat, smat, mask, ldu, n_max,
             return eig, jnp.pad(up, padn), jnp.pad(um, padn)
         return run
 
-    if len(sizes) == 1:
-        return make(lda_pad)(None)
-    idx = jnp.sum(ldu > jnp.asarray(sizes[:-1], jnp.int32)).astype(jnp.int32)
-    return jax.lax.switch(idx, [make(L) for L in sizes], None)
+    return bucketed_switch(make, ldu, lda_pad, 2 * n_max)
 
 
 class _CaslrState(NamedTuple):
@@ -432,15 +427,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                 return iw, u
             return run
 
-        from ..utils.masking import prefix_buckets
-        sizes = prefix_buckets(lda_pad, 2 * n_max)
-        if len(sizes) == 1:
-            inv_w, up = reduced_at(lda_pad)(None)
-        else:
-            idx = jnp.sum(ldu_new > jnp.asarray(sizes[:-1], jnp.int32)
-                          ).astype(jnp.int32)
-            inv_w, up = jax.lax.switch(idx, [reduced_at(L) for L in sizes],
-                                       None)
+        from ..utils.masking import bucketed_switch
+        inv_w, up = bucketed_switch(reduced_at, ldu_new, lda_pad, 2 * n_max)
         um = mm(smat, up) / inv_w[None, :]
 
         eigp = mTm(up, s.vp)

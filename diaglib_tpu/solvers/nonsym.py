@@ -49,6 +49,31 @@ __all__ = ["nonsym"]
 
 _TOL_IM = 1.0e-12
 
+_CALLBACK_SUPPORT: dict = {}
+
+
+def _callbacks_supported() -> bool:
+    """Whether this backend's PJRT implements host send/recv callbacks.
+
+    Probed once per backend with a trivial jitted pure_callback (the axon
+    TPU plugin raises UNIMPLEMENTED; standard CPU/GPU/Cloud-TPU runtimes
+    succeed), so driver='auto' keeps the fused while_loop wherever it
+    actually works.
+    """
+    backend = jax.default_backend()
+    if backend not in _CALLBACK_SUPPORT:
+        def cb(x):
+            return np.asarray(x)
+
+        try:
+            jax.block_until_ready(jax.jit(lambda x: jax.pure_callback(
+                cb, jax.ShapeDtypeStruct((), jnp.float32), x,
+                vmap_method="sequential"))(jnp.float32(0)))
+            _CALLBACK_SUPPORT[backend] = True
+        except Exception:
+            _CALLBACK_SUPPORT[backend] = False
+    return _CALLBACK_SUPPORT[backend]
+
 
 def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max):
     """dgeev + sort + root homing on the host (numpy), static shapes.
@@ -222,7 +247,8 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
     before/after the reduced solve stay jit-compiled, the (tiny, replicated)
     reduced matrix round-trips to the host — for runtimes whose PJRT has no
     host send/recv callbacks (e.g. the axon TPU plugin fails with
-    UNIMPLEMENTED).  "auto" = "host" on TPU, "jit" elsewhere.
+    UNIMPLEMENTED).  "auto" probes callback support once per backend and
+    picks "jit" when available, "host" otherwise.
     """
     from ..parallel.sharding import constrainers
 
@@ -374,7 +400,7 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
     )
     if driver == "auto":
-        driver = "host" if jax.default_backend() == "tpu" else "jit"
+        driver = "jit" if _callbacks_supported() else "host"
     if driver == "jit":
         return jax.lax.while_loop(cond, body, init)
     if driver != "host":
@@ -383,7 +409,9 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
     # host-orchestrated loop: device steps jit-compiled, reduced dgeev on
     # the host between them (no PJRT callback support needed)
     pre_j = jax.jit(step_pre)
-    post_j = jax.jit(step_post)
+    # donate the previous state + aspace: step_post consumes both, so the
+    # host loop updates buffers in place like the while_loop driver would
+    post_j = jax.jit(step_post, donate_argnums=(0, 1))
     s = init
     while bool(cond(s)):
         aspace, g, ldu_new, n_sort, do_homing = pre_j(s)
@@ -410,8 +438,9 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
         reference demotes 's' to consecutive, diaglib.f90:2398-2406).
       driver: "jit" (single lax.while_loop, needs a callback-capable PJRT),
         "host" (Python-orchestrated loop, works on runtimes without host
-        callbacks, e.g. the axon TPU plugin), or "auto" (host on TPU).
-        With "host" the call itself must not be wrapped in jax.jit.
+        callbacks, e.g. the axon TPU plugin), or "auto" (probes callback
+        support once per backend).  With "host" the call itself must not
+        be wrapped in jax.jit.
 
     Returns NonsymResult.  For 'c'/'s', ``ok`` additionally requires the
     left-pass eigenvalues to match the right-pass ones within tol

@@ -104,6 +104,22 @@ def prefix_buckets(full: int, lo: int):
     return tuple(sizes)
 
 
+def bucketed_switch(make, ldu, full: int, lo: int):
+    """Dispatch to ``make(L)()`` for the smallest bucket L >= ldu.
+
+    ``make(L)`` returns a thunk computing the solve restricted to the
+    leading L x L prefix, padded back to full-width output shapes (all
+    branches of the ``lax.switch`` must agree).  Exact whenever the
+    genuine data occupies the leading ldu rows/cols (prefix masks).
+    """
+    sizes = prefix_buckets(full, lo)
+    if len(sizes) == 1:
+        return make(full)(None)
+    idx = jnp.sum(
+        ldu > jnp.asarray(sizes[:-1], jnp.int32)).astype(jnp.int32)
+    return jax.lax.switch(idx, [make(L) for L in sizes], None)
+
+
 def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
     """masked_eigh on the smallest prefix bucket covering ``ldu``.
 
@@ -116,9 +132,6 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
     and zero eigenvector columns.
     """
     full = a.shape[0]
-    sizes = prefix_buckets(full, lo)
-    if len(sizes) == 1:
-        return masked_eigh(a, mask, method)
     outer = mask[:, None] & mask[None, :]
     pad = _pad_value(a, outer)
 
@@ -131,9 +144,7 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
             return w_out, v_out
         return run
 
-    idx = jnp.sum(
-        ldu > jnp.asarray(sizes[:-1], jnp.int32)).astype(jnp.int32)
-    return jax.lax.switch(idx, [make(L) for L in sizes], None)
+    return bucketed_switch(make, ldu, full, lo)
 
 
 def masked_svd(a, mask, method: str = "device"):
