@@ -20,7 +20,11 @@ performs the two serial post-processing steps of the reference:
 
 * ``sort_eigenpairs`` — ascending selection sort on the real parts with
   complex pairs (|wi| > 1e-12) parked at the array tail
-  (diaglib.f90:2945-3017);
+  (diaglib.f90:2945-3017).  Like the reference, the targeted roots are the
+  lowest REAL eigenvalues: complex pairs above the target window are
+  handled (parked) transparently, but a spectrum whose complex pairs sit
+  *inside* the window is outside this algorithm family's contract and
+  stalls convergence;
 * root homing — overlaps of previous vs current reduced eigenvectors build a
   max-overlap permutation with tie-breaking fallbacks
   (diaglib.f90:2539-2696).  The reference's bookkeeping arrays are indexed

@@ -147,3 +147,34 @@ def test_host_driver_matches_jit_driver():
     # assert the contract (same converged eigenvalues), not bitwise paths
     np.testing.assert_allclose(np.asarray(res_h.eig[:4]),
                                np.asarray(res_j.eig[:4]), rtol=0, atol=1e-10)
+
+
+def test_complex_pairs_parked():
+    """A genuinely complex spectrum above the target window: the reduced
+    dgeev produces complex pairs that sort_eigenpairs parks at the tail
+    (diaglib.f90:2984-3006, tol_im=1e-12), so the real targeted roots
+    converge undisturbed."""
+    n_sym, n_rot = 180, 10
+    s = np.asarray(nonsym_matrix(n_sym, jax.random.PRNGKey(0), variant=3),
+                   np.float64)
+    rng = np.random.default_rng(3)
+    blocks = [np.array([[40.0 + 3.0 * i, 5.0 + 0.5 * i],
+                        [-(5.0 + 0.5 * i), 40.0 + 3.0 * i]])
+              for i in range(n_rot)]
+    a = scipy.linalg.block_diag(s, *blocks)
+    q = np.linalg.qr(rng.standard_normal((a.shape[0],) * 2))[0]
+    a = q.T @ a @ q
+    w = scipy.linalg.eig(a, right=False)
+    assert np.sum(np.abs(w.imag) > 1e-9) == 2 * n_rot
+    w_real = np.sort(w[np.abs(w.imag) < 1e-9].real)
+
+    aj = jnp.asarray(a)
+    opts = SolverOptions(n_targ=4, n_max=6, max_iter=300, tol=1e-8,
+                         max_dav=10)
+    res = nonsym(dense_matvec(aj), dense_matvec(aj.T),
+                 diag_precnd(jnp.diagonal(aj)),
+                 jnp.zeros((6, a.shape[0])), opts, side="r",
+                 key=jax.random.PRNGKey(5))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:4]), w_real[:4],
+                               rtol=0, atol=1e-7)
