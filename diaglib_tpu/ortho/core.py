@@ -88,6 +88,7 @@ class _CDState(NamedTuple):
     it: jax.Array
     done: jax.Array
     ok: jax.Array
+    prev_rcond: jax.Array
 
 
 def _shifted_cholesky(metric, mask, unorm, dtype):
@@ -148,11 +149,19 @@ def ortho_cd(u, mask=None, max_iter: int = _MAXIT):
         u_new = mm(linv, uu)
         error = _eps(dtype) * rcond * rcond
         converged = error < _tol_ortho(dtype)
-        done = converged | failed
-        ok = ~failed
+        # each refinement pass squares the orthogonality error, so rcond
+        # must drop sharply pass over pass; a stalled rcond means the block
+        # is (numerically) rank deficient and can NEVER converge here —
+        # bail to the QR fallback instead of burning max_iter passes
+        # (on TPU each pass costs ~ms; deficient blocks appear routinely
+        # near solver convergence when residuals of locked-adjacent roots
+        # degenerate)
+        stalled = (s.it > 0) & (rcond >= 0.5 * s.prev_rcond) & (~converged)
+        done = converged | failed | stalled
+        ok = converged
         u_out = jnp.where(failed, uu, u_new)
         growth = jnp.where(failed, s.growth, growth)
-        return _CDState(u_out, growth, s.it + 1, done, ok)
+        return _CDState(u_out, growth, s.it + 1, done, ok, rcond)
 
     init = _CDState(
         u,
@@ -160,9 +169,10 @@ def ortho_cd(u, mask=None, max_iter: int = _MAXIT):
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(False),
+        jnp.asarray(jnp.inf, dtype),
     )
     out = jax.lax.while_loop(cond, body, init)
-    ok = out.ok & out.done  # ran to convergence, no Cholesky failure
+    ok = out.ok & out.done  # ran to convergence, no failure/stall
     return out.u, out.growth, ok
 
 

@@ -111,17 +111,30 @@ def _jacobi_sweeps(a, v, max_sweeps: int):
         v = rotate_permute(v, c, s, 1)
         return (m, v)
 
+    qthresh = jnp.sqrt(eps) * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
+
     def sweep_cond(carry):
-        m, _, it = carry
-        return (offnorm(m) > tol) & (it < max_sweeps)
+        m, _, it, prev_off = carry
+        off = offnorm(m)
+        # the eps*||A|| target is unattainable for L beyond ~100 (the
+        # off-norm floor scales with L), so ALSO stop when a full sweep no
+        # longer makes progress — without this every large solve burned all
+        # max_sweeps at the floor (measured 3x the converged cost at L=630).
+        # The plateau exit only applies in the quadratic regime
+        # (off < sqrt(eps)*||A||): early sweeps on clustered spectra can
+        # legitimately progress by <10% and must not be cut short.
+        plateau = (off < qthresh) & (off >= 0.9 * prev_off)
+        return (off > tol) & (~plateau) & (it < max_sweeps)
 
     def sweep_body(carry):
-        m, v, it = carry
+        m, v, it, _ = carry
+        off_before = offnorm(m)
         m, v = jax.lax.fori_loop(0, L - 1, round_step, (m, v))
-        return (m, v, it + 1)
+        return (m, v, it + 1, off_before)
 
-    m, v, _ = jax.lax.while_loop(
-        sweep_cond, sweep_body, (a, v, jnp.asarray(0, jnp.int32))
+    m, v, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body,
+        (a, v, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)),
     )
     return m, v
 
