@@ -156,7 +156,7 @@ def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
                                lambda e, rows, cols, first: (e * 0, rows[e]),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    y = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
@@ -167,6 +167,13 @@ def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
             transcendentals=0,
         ),
     )(m.rows, m.cols, first, x, m.blocks_t)
+    # block rows with no entries are never written by the kernel (their
+    # output tiles hold uninitialized memory, possibly NaN — a multiply
+    # mask would keep the NaNs) — select by row coverage
+    nbr = n // B
+    covered = jnp.zeros((nbr,), bool).at[m.rows].set(True)
+    y = jnp.where(covered[None, :, None], y.reshape(k, nbr, B), 0.0)
+    return y.reshape(k, n)
 
 
 def _segment_spmm(xb, rows, cols, blocks_t, nbr_out: int, chunk: int = 64,

@@ -76,6 +76,7 @@ class SlicedBSR:
     n: int = dataclasses.field(metadata=dict(static=True))
     block: int = dataclasses.field(metadata=dict(static=True))
     na: int = dataclasses.field(metadata=dict(static=True))
+    max_bpr: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def nnzb(self) -> int:
@@ -102,8 +103,10 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
         na = 9
     B = m.block
     nbr = m.n // B
-    # int32 exactness guard: per-level products |q_x q_a| < 2^14 summed over
-    # B * blocks_per_row * n_level_pairs terms must stay below 2^31
+    # int32 exactness guard for the DEFAULT tiers (nx <= 9; see also the
+    # per-call guard in sliced_bsr_matvec for explicit nx): per-level
+    # products |q_x q_a| < 2^14 summed over B * blocks_per_row *
+    # n_level_pairs terms must stay below 2^31
     max_bpr = int(jnp.max(jnp.bincount(m.rows, length=nbr)))
     import math
     if 14 + math.ceil(math.log2(B * max_bpr * min(na, 9))) > 31:
@@ -111,13 +114,10 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
             f"block {B} x {max_bpr}/row overflows exact int32 accumulation")
 
     # per-(block-row, column) power-of-two scale over all entries of the row
+    from .slicing import pow2_grid
     absmax = jnp.max(jnp.abs(m.blocks_t), axis=1)          # (nnzb, B)
     colmax = jnp.zeros((nbr, B), m.blocks_t.dtype).at[m.rows].max(absmax)
-    colmax = colmax.astype(jnp.float64)
-    e = jnp.ceil(jnp.log2(jnp.where(colmax > 0.0, colmax, 1.0)))
-    s = jnp.exp2(e)
-    s = jnp.where(colmax > s, 2.0 * s, s)
-    col_scale = jnp.where(colmax > 0.0, s, 1.0)            # (nbr, B)
+    col_scale = pow2_grid(colmax.astype(jnp.float64))      # (nbr, B)
 
     @jax.jit
     def build(blocks_t, rows, col_scale):
@@ -147,7 +147,7 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
         col_scale=col_scale.reshape(-1),
         diagonal=diagonal,
         rows=m.rows, cols=m.cols, row_start=m.row_start,
-        n=m.n, block=B, na=na,
+        n=m.n, block=B, na=na, max_bpr=max_bpr,
     )
 
 
@@ -262,6 +262,15 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
     See :func:`_tier_params` for the tier definitions.
     """
     nx, na_used, nlev = _tier_params(m.na, dtype, nx, nlev)
+    if m.max_bpr:
+        # int32 exactness for the ACTUAL tier: up to min(nx, na_used) pair
+        # products per level, summed over B * blocks_per_row terms
+        import math
+        pairs = min(nx, na_used)
+        if 14 + math.ceil(math.log2(m.block * m.max_bpr * pairs)) > 31:
+            raise ValueError(
+                f"nx={nx} x na={na_used} slices overflow exact int32 "
+                f"accumulation at block {m.block} x {m.max_bpr}/row")
     w = combine_weights(nlev, _BITS,
                         jnp.float64 if dtype == jnp.float64 else jnp.float32)
 
@@ -269,6 +278,12 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
         k, n = x.shape
         p, sx = _sliced_spmm(m, x, nx=nx, nlev=nlev, na_used=na_used,
                              interpret=interpret)
+        # block rows with no entries are never written by the kernel
+        # (uninitialized tiles) — mask the level sums by row coverage
+        nbr = n // m.block
+        covered = jnp.zeros((nbr,), jnp.int32).at[m.rows].set(1)
+        p = (p.reshape(nlev * k, nbr, m.block) * covered[None, :, None]
+             ).reshape(nlev * k, n)
         if dtype == jnp.float64:
             lv = p.reshape(nlev, k, n).astype(jnp.float64)
         else:

@@ -50,9 +50,7 @@ def ell_from_coo(rows, cols, vals, n: int) -> ELLMatrix:
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     vals = np.asarray(vals)
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    # sum duplicates
+    # sum duplicates (np.unique sorts by key; no presort needed)
     key = rows.astype(np.int64) * n + cols
     uniq, inv = np.unique(key, return_inverse=True)
     acc = np.zeros(len(uniq), vals.dtype)

@@ -48,14 +48,22 @@ def _pow2(e):
     return jnp.exp2(e)
 
 
-def _row_scale(x, axis):
-    """Per-row power-of-two scale sigma with |x| / sigma <= 1 (0 -> 1)."""
-    m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+def pow2_grid(m):
+    """Power-of-two scale s >= m elementwise (0 -> 1), exact grid values.
+
+    Guards the log2 rounding edge: if m still exceeds 2^ceil(log2(m)),
+    bump once.  Shared by the operand slicers here and slice_bsr's
+    per-column grids (ops/bsr_sliced.py).
+    """
     e = jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0)))
-    # guard the log2 rounding edge: if m still exceeds 2^e, bump once
     s = _pow2(e)
     s = jnp.where(m > s, 2.0 * s, s)
     return jnp.where(m > 0.0, s, 1.0)
+
+
+def _row_scale(x, axis):
+    """Per-row power-of-two scale sigma with |x| / sigma <= 1 (0 -> 1)."""
+    return pow2_grid(jnp.max(jnp.abs(x), axis=axis, keepdims=True))
 
 
 def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):

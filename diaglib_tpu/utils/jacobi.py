@@ -87,6 +87,9 @@ def _jacobi_sweeps(a, v, max_sweeps: int):
         top = cb * p - sb * q
         bot = sb * p + cb * q
         sl = jax.lax.slice_in_dim
+        if L2 == 1:  # single pair: the tournament is trivial (L=2 inputs
+            # reach here via 1x1/2x2 reduced problems and SVDs)
+            return jnp.concatenate([top, bot], axis=axis)
         return jnp.concatenate(
             [sl(top, 0, 1, axis=axis), sl(bot, 0, 1, axis=axis),
              sl(top, 1, L2 - 1, axis=axis),

@@ -150,16 +150,21 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
 def masked_svd(a, mask, method: str = "device"):
     """SVD of the masked square matrix, genuine triplets leading.
 
-    Masked rows/cols are padded with the identity (singular value 1).  The
-    global descending sort may interleave pad singular values with genuine
-    ones, so the triplets are re-sorted (stably) by genuineness: a left
-    singular vector supported on valid rows is genuine.  The result equals the
-    SVD of the compacted matrix, embedded at the leading positions.
+    Masked rows/cols are padded with a diagonal strictly ABOVE the genuine
+    spectrum (a Frobenius bound + 2): a pad value inside the genuine range
+    (e.g. 1.0, where the singular values of near-orthonormal overlap
+    matrices cluster) can make the backend SVD mix degenerate pad and
+    genuine subspaces.  The triplets are then re-sorted (stably) by
+    genuineness — a left singular vector supported on valid rows is
+    genuine — so the result equals the SVD of the compacted matrix,
+    embedded at the leading positions.
     """
     from . import reduced
 
     outer = mask[:, None] & mask[None, :]
-    a_m = jnp.where(outer, a, 0.0) + jnp.diag(jnp.where(mask, 0.0, 1.0))
+    a_v = jnp.where(outer, a, 0.0)
+    pad = jnp.sqrt(jnp.sum(a_v * a_v)) + 2.0
+    a_m = a_v + jnp.diag(jnp.where(mask, 0.0, pad))
     u, s, vt = reduced.svd(a_m, method)
     # score ~ 1 for genuine columns (support on valid rows), ~0 for pad columns
     from .jacobi import rank_argsort

@@ -62,3 +62,23 @@ def test_bsr_spd_and_davidson():
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.eig[:4]), np.asarray(w[:4]),
                                rtol=0, atol=1e-7)
+
+
+def test_empty_block_row_returns_zeros():
+    """A block row with no entries must produce zero output columns — the
+    Pallas kernel never writes those tiles (uninitialized VMEM), so the
+    matvec masks by row coverage.  Exercised here through the interpret
+    path AND the reference path; the mask code is shared."""
+    n, B = 8 * 16, 16
+    dense = np.zeros((n, n))
+    rng = np.random.default_rng(0)
+    for r in (0, 2, 3, 5, 7):  # rows 1, 4, 6 left empty
+        dense[r*B:(r+1)*B, r*B:(r+1)*B] = rng.standard_normal((B, B))
+    m = bsr_from_dense(jnp.asarray(dense, jnp.float32), B)
+    x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    y_ref = np.asarray(x, np.float64) @ dense.T
+    from diaglib_tpu.ops.bsr import _spmm_pallas
+    y = _spmm_pallas(m, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float64), y_ref,
+                               atol=1e-4 * max(1.0, np.max(np.abs(y_ref))))
+    assert float(jnp.max(jnp.abs(y[:, B:2*B]))) == 0.0

@@ -115,3 +115,19 @@ def test_mm_helpers_match_numpy(k):
     d = rng.standard_normal((k, 4))
     np.testing.assert_allclose(np.asarray(mTm(jnp.asarray(c), jnp.asarray(d))),
                                c.T @ d, rtol=1e-12, atol=1e-11)
+
+
+def test_jacobi_tiny_sizes():
+    """1x1 and 2x2 inputs (reachable via n_max=1 solvers and bucket lo=2)
+    must not crash the Brent-Luk slicing (regression: slice_in_dim(1, 0))."""
+    from diaglib_tpu.utils.jacobi import jacobi_eigh, jacobi_svd
+
+    a2 = jnp.asarray([[2.0, 1.0], [1.0, 3.0]])
+    w, v = jacobi_eigh(a2)
+    np.testing.assert_allclose(np.asarray(w), np.linalg.eigh(np.asarray(a2))[0],
+                               atol=1e-12)
+    a1 = jnp.asarray([[4.0]])
+    w1, v1 = jacobi_eigh(a1)
+    np.testing.assert_allclose(np.asarray(w1), [4.0], atol=1e-14)
+    u, s, vt = jacobi_svd(jnp.asarray([[-3.0]]))
+    np.testing.assert_allclose(np.asarray(s), [3.0], atol=1e-14)

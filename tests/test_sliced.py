@@ -172,3 +172,23 @@ def test_mm_sliced_dispatch_overflow_falls_back(monkeypatch):
     a = jnp.ones((2, 1 << 18), jnp.float64)
     out = mmmod.mmT(a, a)  # would raise in sliced_mmT; must take chunked path
     np.testing.assert_allclose(np.asarray(out), float(1 << 18))
+
+
+def test_sliced_empty_block_row_returns_zeros():
+    """Same uninitialized-tile hazard as the plain BSR kernel: empty block
+    rows must come back exactly zero from the sliced matvec."""
+    from diaglib_tpu.ops.bsr import bsr_from_dense
+
+    n, B = 6 * 32, 32
+    rng = np.random.default_rng(1)
+    dense = np.zeros((n, n))
+    for r in (0, 2, 5):  # rows 1, 3, 4 empty
+        dense[r*B:(r+1)*B, r*B:(r+1)*B] = rng.standard_normal((B, B))
+    m = bsr_from_dense(jnp.asarray(dense), B)
+    sm = slice_bsr(m)
+    x = _rand(jax.random.PRNGKey(5), (4, n))
+    y = sliced_bsr_matvec(sm, interpret=True)(x)
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               atol=1e-13 * max(1.0, np.max(np.abs(ref))))
+    assert float(jnp.max(jnp.abs(y[:, B:2*B]))) == 0.0
