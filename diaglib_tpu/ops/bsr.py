@@ -83,12 +83,24 @@ def bsr_from_dense(a, block: int) -> BSRMatrix:
     nbr = n // block
     rows, cols, blocks = [], [], []
     for r in range(nbr):
+        found = False
         for c in range(nbr):
             blk = a[r * block:(r + 1) * block, c * block:(c + 1) * block]
             if np.any(blk != 0.0):
                 rows.append(r)
                 cols.append(c)
                 blocks.append(blk.T)  # pre-transposed
+                found = True
+        if not found:
+            # every block row must carry >= 1 entry: the Pallas kernels
+            # zero an output tile only at a row's first entry, so an
+            # empty row's tile would hold uninitialized memory.  (An
+            # output-side mask is NOT an option: adding one to the hot
+            # path changed XLA's fusion inside solver while_loops and
+            # broke emulated-f64 convergence — pad the pattern instead.)
+            rows.append(r)
+            cols.append(r)
+            blocks.append(np.zeros((block, block), a.dtype))
     return BSRMatrix(
         blocks_t=jnp.asarray(np.stack(blocks)),
         rows=jnp.asarray(rows, jnp.int32),
@@ -156,7 +168,13 @@ def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
                                lambda e, rows, cols, first: (e * 0, rows[e]),
                                memory_space=pltpu.VMEM),
     )
-    y = pl.pallas_call(
+    # NOTE: every block row must have >= 1 entry (builders enforce this by
+    # padding empty rows with a zero block) — the kernel zeroes an output
+    # tile only at a row's first entry, so an uncovered row's tile would
+    # hold uninitialized memory.  Masking the output here instead was
+    # tried and REVERTED: the extra ops changed XLA's fusion inside
+    # solver while_loops and broke emulated-f64 convergence.
+    return pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, n), x.dtype),
@@ -167,13 +185,6 @@ def _spmm_pallas(m: BSRMatrix, x, interpret: bool):
             transcendentals=0,
         ),
     )(m.rows, m.cols, first, x, m.blocks_t)
-    # block rows with no entries are never written by the kernel (their
-    # output tiles hold uninitialized memory, possibly NaN — a multiply
-    # mask would keep the NaNs) — select by row coverage
-    nbr = n // B
-    covered = jnp.zeros((nbr,), bool).at[m.rows].set(True)
-    y = jnp.where(covered[None, :, None], y.reshape(k, nbr, B), 0.0)
-    return y.reshape(k, n)
 
 
 def _segment_spmm(xb, rows, cols, blocks_t, nbr_out: int, chunk: int = 64,

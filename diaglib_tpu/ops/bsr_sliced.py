@@ -278,12 +278,6 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
         k, n = x.shape
         p, sx = _sliced_spmm(m, x, nx=nx, nlev=nlev, na_used=na_used,
                              interpret=interpret)
-        # block rows with no entries are never written by the kernel
-        # (uninitialized tiles) — mask the level sums by row coverage
-        nbr = n // m.block
-        covered = jnp.zeros((nbr,), jnp.int32).at[m.rows].set(1)
-        p = (p.reshape(nlev * k, nbr, m.block) * covered[None, :, None]
-             ).reshape(nlev * k, n)
         if dtype == jnp.float64:
             lv = p.reshape(nlev, k, n).astype(jnp.float64)
         else:

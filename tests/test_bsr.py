@@ -66,9 +66,9 @@ def test_bsr_spd_and_davidson():
 
 def test_empty_block_row_returns_zeros():
     """A block row with no entries must produce zero output columns — the
-    Pallas kernel never writes those tiles (uninitialized VMEM), so the
-    matvec masks by row coverage.  Exercised here through the interpret
-    path AND the reference path; the mask code is shared."""
+    Pallas kernel never writes an uncovered tile (uninitialized VMEM), so
+    bsr_from_dense pads empty rows with a zero block (an output-side mask
+    was tried and reverted: it perturbed XLA fusion inside solver loops)."""
     n, B = 8 * 16, 16
     dense = np.zeros((n, n))
     rng = np.random.default_rng(0)

@@ -176,7 +176,8 @@ def test_mm_sliced_dispatch_overflow_falls_back(monkeypatch):
 
 def test_sliced_empty_block_row_returns_zeros():
     """Same uninitialized-tile hazard as the plain BSR kernel: empty block
-    rows must come back exactly zero from the sliced matvec."""
+    rows must come back exactly zero from the sliced matvec (guaranteed by
+    bsr_from_dense's zero-block padding of empty rows)."""
     from diaglib_tpu.ops.bsr import bsr_from_dense
 
     n, B = 6 * 32, 32
