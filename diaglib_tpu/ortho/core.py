@@ -349,13 +349,24 @@ class _BiState(NamedTuple):
 def biortho_vs_x(xl, xr, ul, ur, xmask=None, umask=None,
                  max_iter: int = _MAXIT_BIORTHO):
     """Biorthogonalize (ul, ur) against (xr, xl), orthonormalize each and
-    iterate until the growth-based error is tight (diaglib.f90:3343-3393);
-    finish with svd_biortho."""
+    iterate until the overlap error is tight (diaglib.f90:3343-3393);
+    finish with svd_biortho.  Returns ``(ul, ur, done)``.
+
+    When ortho_cd fails/stalls on either block, the QR fallback fires and
+    the convergence test switches to the explicit ||x u^T|| overlap
+    (growth would be stale on that branch) — the same ladder every other
+    *_vs_x routine uses (diaglib.f90:3533-3549).
+    """
     xmask = _rowmask(xmask, xl.shape[0])
     umask = _rowmask(umask, ul.shape[0])
     xlm = jnp.where(xmask[:, None], xl, 0.0)
     xrm = jnp.where(xmask[:, None], xr, 0.0)
     dtype = ul.dtype
+
+    def _overlap_err(x_for_overlap, uu, growth, cd_ok):
+        overlap = mmT(x_for_overlap, uu)
+        explicit = jnp.sqrt(jnp.sum(overlap * overlap))
+        return jnp.where(cd_ok, growth * _eps(dtype), explicit)
 
     def cond(s: _BiState):
         return (~s.done) & (s.it < max_iter)
@@ -363,13 +374,14 @@ def biortho_vs_x(xl, xr, ul, ur, xmask=None, umask=None,
     def body(s: _BiState):
         ur_ = s.ur - mm(mmT(s.ur, xlm), xrm)
         ul_ = s.ul - mm(mmT(s.ul, xrm), xlm)
-        ul_, g_l, _ = ortho_cd(ul_, umask)
-        ur_, g_r, _ = ortho_cd(ur_, umask)
-        n1 = g_l * _eps(dtype)
-        n2 = g_r * _eps(dtype)
+        ul_, g_l, ok_l = _ortho_or_qr(ul_, umask)
+        ur_, g_r, ok_r = _ortho_or_qr(ur_, umask)
+        n1 = _overlap_err(xrm, ul_, g_l, ok_l)
+        n2 = _overlap_err(xlm, ur_, g_r, ok_r)
         done = (n1 < _tol_ortho(dtype)) & (n2 < _tol_ortho(dtype))
         return _BiState(ul_, ur_, s.it + 1, done)
 
     init = _BiState(ul, ur, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     out = jax.lax.while_loop(cond, body, init)
-    return svd_biortho(out.ul, out.ur, umask)
+    ul_f, ur_f = svd_biortho(out.ul, out.ur, umask)
+    return ul_f, ur_f, out.done

@@ -66,11 +66,16 @@ def _split_guess(evec_guess, n_max):
 
 
 def _nonzero_or_random(v, key):
-    """Random fallback when the caller passes a zero guess (the reference
-    would feed zeros straight into ortho_cd and die; be kinder)."""
-    fac = jnp.linalg.norm(v)
+    """Per-row random fallback for zero guess rows.
+
+    The reference would feed zeros straight into ortho_cd and die; the
+    repair here is row-granular (check_guess contract,
+    diaglib.f90:3734-3786): a guess with *some* zero rows gets only those
+    rows replaced, so the caller's nonzero rows are kept verbatim and a
+    fully zero block becomes fully random."""
+    row_norm = jnp.linalg.norm(v, axis=1)
     rnd = jax.random.uniform(key, v.shape, dtype=v.dtype) - 0.5
-    return jnp.where(fac == 0.0, rnd, v)
+    return jnp.where((row_norm == 0.0)[:, None], rnd, v)
 
 
 def _combine(eigp, eigm):
@@ -185,6 +190,7 @@ class _CaslrState(NamedTuple):
     rms: jax.Array
     rmx: jax.Array
     ok: jax.Array
+    ortho_ok: jax.Array
     n_matvec: jax.Array
     eig_h: jax.Array
     rms_h: jax.Array
@@ -196,17 +202,24 @@ def _lr_result(out, options):
         eig=out.eig, evec=out.evec, ok=out.ok, n_iter=out.it,
         n_matvec=out.n_matvec, done=out.done,
         rms_history=out.rms_h, max_history=out.max_h, eig_history=out.eig_h,
+        ortho_ok=out.ortho_ok,
     )
 
 
 def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
-          options: SolverOptions, *, algorithm: int = 0, key=None,
+          options: SolverOptions, *, algorithm: int = 1, key=None,
           sharding=None):
     """Casida LR solver with plain-orthonormal expansion spaces
     (caslr_driver, diaglib.f90:558-1022).
 
     ``algorithm`` selects the reduced solve: 0 = inverse pencil (the
-    reference's default, utils.f90 i_alg=0), 1 = Helmich-Paris.
+    reference's default, utils.f90 i_alg=0), 1 = Helmich-Paris.  The
+    default here is 1: both are exact reduced solves of the same pencil,
+    but the inverse pencil diagonalizes the full 2L x 2L generalized
+    problem per iteration while Helmich-Paris works on half-size (L x L)
+    factors — ~6x less reduced-solve work per iteration, which dominates
+    this driver's wall time on TPU (the O(n) work is identical).  Pass
+    ``algorithm=0`` to cross-check against the reference's default path.
     ``lrprec(w, rp, rm) -> (yp, ym)`` is called with the first active
     eigenvalue (diaglib.f90:953-954).  Returns eigenvalues w (ascending) and
     paired eigenvectors (Y, Z) rows of length 2n.
@@ -297,26 +310,29 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
             yp, ym = lrprec(eig[n_frozen], rpb, rmb)
             yp = jnp.where(umask[:, None], yp, 0.0)
             ym = jnp.where(umask[:, None], ym, 0.0)
-            yp, _ = ortho_vs_x(s.vp, yp, xmask=col_ok, umask=umask)
-            ym, _ = ortho_vs_x(s.vm, ym, xmask=col_ok, umask=umask)
+            yp, p_done = ortho_vs_x(s.vp, yp, xmask=col_ok, umask=umask)
+            ym, m_done = ortho_vs_x(s.vm, ym, xmask=col_ok, umask=umask)
             return (scatter_rows(s.vp, yp, ldu_new),
                     scatter_rows(s.vm, ym, ldu_new),
                     lvp, lvm, bvp, bvm,
-                    ldu_new, n_act_new, s.m_dim + 1)
+                    ldu_new, n_act_new, s.m_dim + 1,
+                    s.ortho_ok & p_done & m_done)
 
         def restart(_):
-            vpn, _, _ = ortho_cd(eigp)
-            vmn, _, _ = ortho_cd(eigm)
+            vpn, _, ok_p = ortho_cd(eigp)
+            vmn, _, ok_m = ortho_cd(eigm)
             z = jnp.zeros_like(s.vp)
             return (scatter_rows(z, vpn, 0), scatter_rows(z, vmn, 0),
                     z, z, z, z,
                     jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
-                    jnp.asarray(1, jnp.int32))
+                    jnp.asarray(1, jnp.int32), s.ortho_ok & ok_p & ok_m)
 
         def finish(_):
-            return (s.vp, s.vm, lvp, lvm, bvp, bvm, ldu_new, s.n_act, s.m_dim)
+            return (s.vp, s.vm, lvp, lvm, bvp, bvm, ldu_new, s.n_act, s.m_dim,
+                    s.ortho_ok)
 
-        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2) = jax.lax.cond(
+        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2,
+         ortho_ok2) = jax.lax.cond(
             ok, finish,
             lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
                                    restart, None),
@@ -326,7 +342,8 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         return _CaslrState(
             it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
             bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2, eig=eig,
-            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok, n_matvec=n_matvec,
+            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
+            ortho_ok=ortho_ok2, n_matvec=n_matvec,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
@@ -344,6 +361,7 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
+        ortho_ok=jnp.asarray(True),
         n_matvec=jnp.asarray(0, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
@@ -465,11 +483,13 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
             yp, ym = lrprec(inv_w[n_frozen], rpb, rmb)
             yp = jnp.where(umask[:, None], yp, 0.0)
             ym = jnp.where(umask[:, None], ym, 0.0)
-            yp, _ = b_ortho_vs_x(s.vp, s.lvp, yp, xmask=col_ok, umask=umask)
+            yp, p_done = b_ortho_vs_x(s.vp, s.lvp, yp, xmask=col_ok,
+                                      umask=umask)
             lyp = apbmul(yp)
             lyp = jnp.where(umask[:, None], lyp, 0.0)
             yp, lyp = b_ortho(yp, lyp, umask)
-            ym, _ = b_ortho_vs_x(s.vm, s.lvm, ym, xmask=col_ok, umask=umask)
+            ym, m_done = b_ortho_vs_x(s.vm, s.lvm, ym, xmask=col_ok,
+                                      umask=umask)
             lym = ambmul(ym)
             lym = jnp.where(umask[:, None], lym, 0.0)
             ym, lym = b_ortho(ym, lym, umask)
@@ -477,7 +497,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                     scatter_rows(s.vm, ym, ldu_new),
                     scatter_rows(s.lvp, lyp, ldu_new),
                     scatter_rows(s.lvm, lym, ldu_new),
-                    bvp, bvm, ldu_new, n_act_new, s.m_dim + 1)
+                    bvp, bvm, ldu_new, n_act_new, s.m_dim + 1,
+                    s.ortho_ok & p_done & m_done)
 
         def restart(_):
             vpn, lvpn = metric_ortho(eigp, apbmul)
@@ -487,13 +508,14 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                     scatter_rows(z, lvpn, 0), scatter_rows(z, lvmn, 0),
                     z, z,
                     jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
-                    jnp.asarray(1, jnp.int32))
+                    jnp.asarray(1, jnp.int32), s.ortho_ok)
 
         def finish(_):
             return (s.vp, s.vm, s.lvp, s.lvm, bvp, bvm, ldu_new, s.n_act,
-                    s.m_dim)
+                    s.m_dim, s.ortho_ok)
 
-        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2) = jax.lax.cond(
+        (vp2, vm2, lvp2, lvm2, bvp2, bvm2, ldu2, n_act2, m_dim2,
+         ortho_ok2) = jax.lax.cond(
             ok, finish,
             lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
                                    restart, None),
@@ -504,7 +526,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
             it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
             bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2,
             eig=1.0 / inv_w,  # report w (the reference inverts on exit)
-            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok, n_matvec=n_matvec,
+            evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
+            ortho_ok=ortho_ok2, n_matvec=n_matvec,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
@@ -523,6 +546,7 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
+        ortho_ok=jnp.asarray(True),
         n_matvec=jnp.asarray(2 * n_max, jnp.int32),  # prologue apb/amb
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),

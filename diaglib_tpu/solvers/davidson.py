@@ -73,6 +73,7 @@ class _DavidsonState(NamedTuple):
     rms: jax.Array         # (n_max,) last computed rms norms
     rmx: jax.Array         # (n_max,) last computed max norms
     ok: jax.Array          # all n_targ roots converged
+    ortho_ok: jax.Array    # no orthogonalization step failed so far
     n_matvec: jax.Array    # operator applications (reference nmult semantics)
     eig_h: jax.Array       # (max_iter, n_max) histories
     rms_h: jax.Array
@@ -174,14 +175,15 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             umask = jnp.arange(n_max) < n_act_new
             pre = jnp.where(umask[:, None], pre, 0.0)
             if gen_eig:
-                unew, _ = b_ortho_vs_x(s.space, s.bspace, pre,
-                                       xmask=col_ok, umask=umask)
+                unew, o_done = b_ortho_vs_x(s.space, s.bspace, pre,
+                                            xmask=col_ok, umask=umask)
                 bnew = bvec(unew)
                 bnew = jnp.where(umask[:, None], bnew, 0.0)
                 unew, bnew = b_ortho(unew, bnew, umask)
                 bspace2 = scatter_rows(s.bspace, bnew, ldu_new)
             else:
-                unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+                unew, o_done = ortho_vs_x(s.space, pre, xmask=col_ok,
+                                          umask=umask)
                 bspace2 = s.bspace
             return (
                 scatter_rows(s.space, unew, ldu_new),
@@ -192,6 +194,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
                 n_act_new,
                 jnp.asarray(0, jnp.int32),
                 s.m_dim + 1,
+                s.ortho_ok & o_done,
             )
 
         def restart(_):
@@ -219,14 +222,15 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
                 jnp.asarray(n_max, jnp.int32),
                 n_frozen.astype(jnp.int32),
                 jnp.asarray(1, jnp.int32),
+                s.ortho_ok,
             )
 
         def noop(_):
             return (s.space, aspace, s.bspace, a_red, ldu_new, s.n_act,
-                    jnp.asarray(0, jnp.int32), s.m_dim)
+                    jnp.asarray(0, jnp.int32), s.m_dim, s.ortho_ok)
 
         (space2, aspace2, bspace2, a_red2, ldu2, n_act2, n_rst2,
-         m_dim2) = jax.lax.cond(
+         m_dim2, ortho_ok2) = jax.lax.cond(
             ok,
             noop,
             lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
@@ -238,6 +242,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             it=s.it + 1, space=space2, aspace=aspace2, bspace=bspace2,
             a_red=a_red2, ldu=ldu2, n_act=n_act2, n_rst=n_rst2, m_dim=m_dim2,
             eig=eig, evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
+            ortho_ok=ortho_ok2,
             n_matvec=n_matvec, eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
@@ -259,6 +264,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
+        ortho_ok=jnp.asarray(True),
         n_matvec=jnp.asarray(0, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
@@ -276,6 +282,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         rms_history=out.rms_h,
         max_history=out.max_h,
         eig_history=out.eig_h,
+        ortho_ok=out.ortho_ok,
     )
 
 

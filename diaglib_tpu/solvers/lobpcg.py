@@ -57,6 +57,7 @@ class _LobpcgState(NamedTuple):
     rms: jax.Array
     rmx: jax.Array
     ok: jax.Array
+    ortho_ok: jax.Array
     n_matvec: jax.Array
     eig_h: jax.Array
     rms_h: jax.Array
@@ -112,14 +113,14 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         xmask = jnp.concatenate([jnp.ones((n_max,), bool), p_valid])
         if gen_eig:
             bxp = bspace[: 2 * n_max]
-            w, _ = b_ortho_vs_x(xp, bxp, w, xmask=xmask, umask=umask)
+            w, o_done = b_ortho_vs_x(xp, bxp, w, xmask=xmask, umask=umask)
             bw = bvec(w)
             bw = jnp.where(umask[:, None], bw, 0.0)
             w, bw = b_ortho(w, bw, umask)
         else:
-            w, _ = ortho_vs_x(xp, w, xmask=xmask, umask=umask)
+            w, o_done = ortho_vs_x(xp, w, xmask=xmask, umask=umask)
             bw = jnp.zeros_like(w)
-        return w, bw
+        return w, bw, o_done
 
     # ---- prologue: Rayleigh-Ritz of the guess + explicit first W block ----
     guess = check_guess(evec_guess, key)
@@ -140,7 +141,7 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
     r0 = ax - eig0[:, None] * (bx if gen_eig else x)
 
     pv0 = jnp.zeros((n_max,), bool)
-    w0, bw0 = build_w(
+    w0, bw0, o_done0 = build_w(
         jnp.concatenate([x, jnp.zeros((2 * n_max, n), dtype)]),
         jnp.concatenate([bx, jnp.zeros((2 * n_max, n), dtype)]),
         r0, jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
@@ -199,7 +200,7 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
             onehots = jax.nn.one_hot(n_frozen + idx_b, len_a, dtype=dtype)
             umask = idx_b < n_act_new
             u_p = u_p - jnp.where(umask[:, None], onehots, 0.0)
-            u_p, _ = ortho_vs_x(u_x, u_p, umask=umask)
+            u_p, p_done = ortho_vs_x(u_x, u_p, umask=umask)
 
             p_new = mm(u_p, s.space)
             ap_new = mm(u_p, aspace)
@@ -209,23 +210,24 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
             asp = jnp.concatenate([ax_new, ap_new, jnp.zeros((n_max, n), dtype)])
             bsp = jnp.concatenate([bx_new, bp_new, jnp.zeros((n_max, n), dtype)])
 
-            w_new, bw_new = build_w(sp, bsp, r, n_frozen, n_act_new,
-                                    eig[0], umask)
+            w_new, bw_new, w_done = build_w(sp, bsp, r, n_frozen, n_act_new,
+                                            eig[0], umask)
             sp = scatter_rows(sp, w_new, 2 * n_max)
             bsp = scatter_rows(bsp, bw_new, 2 * n_max)
-            return sp, asp, bsp, n_act_new, n_act_new
+            return (sp, asp, bsp, n_act_new, n_act_new,
+                    s.ortho_ok & p_done & w_done)
 
         def finish(_):
-            return s.space, aspace, s.bspace, s.n_act, s.p_count
+            return s.space, aspace, s.bspace, s.n_act, s.p_count, s.ortho_ok
 
-        space2, aspace2, bspace2, n_act2, p_count2 = jax.lax.cond(
+        space2, aspace2, bspace2, n_act2, p_count2, ortho_ok2 = jax.lax.cond(
             ok, finish, update, None
         )
 
         return _LobpcgState(
             it=s.it + 1, space=space2, aspace=aspace2, bspace=bspace2,
             n_act=n_act2, p_count=p_count2, eig=eig, evec=x_new, done=done,
-            rms=rms, rmx=rmx, ok=ok, n_matvec=n_matvec,
+            rms=rms, rmx=rmx, ok=ok, ortho_ok=ortho_ok2, n_matvec=n_matvec,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
@@ -238,6 +240,7 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
+        ortho_ok=o_done0,
         n_matvec=jnp.asarray(n_max, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
@@ -255,4 +258,5 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         rms_history=out.rms_h,
         max_history=out.max_h,
         eig_history=out.eig_h,
+        ortho_ok=out.ortho_ok,
     )

@@ -51,6 +51,10 @@ def _two_stage(solver, matvec_lo, precnd_lo, matvec_hi, precnd_hi,
         rms_history=hi.rms_history,
         max_history=hi.max_history,
         eig_history=hi.eig_history,
+        # the f32 stage is a warm start only; a contaminated basis there
+        # is re-orthonormalized by the f64 stage's check_guess, so only
+        # the f64 stage's ortho health gates the result
+        ortho_ok=hi.ortho_ok,
     )
 
 

@@ -231,6 +231,7 @@ class _NonsymState(NamedTuple):
     rmx: jax.Array
     found_im: jax.Array
     ok: jax.Array
+    ortho_ok: jax.Array
     n_matvec: jax.Array
     eig_h: jax.Array
     rms_h: jax.Array
@@ -341,22 +342,26 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
             rblk = gather_rows(r, n_frozen, n_max, count=n_act_new)
             pre = precnd(-eig[n_frozen], rblk)
             pre = jnp.where(umask[:, None], pre, 0.0)
-            unew, _ = ortho_vs_x(s.space, pre, xmask=col_ok, umask=umask)
+            unew, o_done = ortho_vs_x(s.space, pre, xmask=col_ok,
+                                      umask=umask)
             return (scatter_rows(s.space, unew, ldu_new), aspace,
-                    ldu_new, n_act_new, s.m_dim + 1, jnp.asarray(False))
+                    ldu_new, n_act_new, s.m_dim + 1, jnp.asarray(False),
+                    s.ortho_ok & o_done)
 
         def restart(_):
-            ev, _, _ = ortho_cd(evec)
+            ev, _, cd_ok = ortho_cd(evec)
             z = jnp.zeros_like(s.space)
             return (scatter_rows(z, ev, 0), jnp.zeros_like(aspace),
                     jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
-                    jnp.asarray(1, jnp.int32), jnp.asarray(True))
+                    jnp.asarray(1, jnp.int32), jnp.asarray(True),
+                    s.ortho_ok & cd_ok)
 
         def finish(_):
             return (s.space, aspace, ldu_new, s.n_act, s.m_dim,
-                    jnp.asarray(False))
+                    jnp.asarray(False), s.ortho_ok)
 
-        space2, aspace2, ldu2, n_act2, m_dim2, fresh2 = jax.lax.cond(
+        (space2, aspace2, ldu2, n_act2, m_dim2, fresh2,
+         ortho_ok2) = jax.lax.cond(
             ok, finish,
             lambda _: jax.lax.cond(s.m_dim < options.dim_dav, expand,
                                    restart, None),
@@ -368,7 +373,8 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
             n_act=n_act2, m_dim=m_dim2, fresh=fresh2,
             copy_r=copy_r, copy_l=copy_l,
             eig=eig, evec=evec, done=done, rms=rms, rmx=rmx,
-            found_im=s.found_im | found_im, ok=ok, n_matvec=n_matvec,
+            found_im=s.found_im | found_im, ok=ok, ortho_ok=ortho_ok2,
+            n_matvec=n_matvec,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
         )
 
@@ -398,6 +404,7 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         found_im=jnp.asarray(False),
         ok=jnp.asarray(False),
+        ortho_ok=jnp.asarray(True),
         n_matvec=jnp.asarray(0, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
@@ -479,19 +486,24 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
             rms_history_l=zero_h if is_r else out.rms_h,
             max_history_l=zero_h if is_r else out.max_h,
             eig_history=out.eig_h,
+            ortho_ok=out.ortho_ok,
         )
 
     # consecutive: right pass, then left pass seeded from evec_r
     out_r = _nonsym_pass(matvec, precnd, evec_guess, options,
                          use_left=False, key=kr, sharding=sharding,
                          driver=driver)
-    guess_l, _, _ = ortho_cd(out_r.evec)
+    guess_l, _, seed_ok = ortho_cd(out_r.evec)
     out_l = _nonsym_pass(matvec_l, precnd, guess_l, options,
                          use_left=True, key=kl, sharding=sharding,
                          driver=driver)
 
     targ = jnp.arange(n_max) < options.n_targ
-    eig_match = jnp.max(jnp.where(targ, out_r.eig - out_l.eig, 0.0)) <= options.tol
+    # |eig_r - eig_l|: the reference's signed maxval (diaglib.f90:2887)
+    # would pass a left pass that converged to LOWER values; intent-level
+    # fix per DESIGN.md policy
+    eig_match = (jnp.max(jnp.where(targ, jnp.abs(out_r.eig - out_l.eig), 0.0))
+                 <= options.tol)
     ok = out_r.ok & out_l.ok & eig_match
     # Final biorthonormalization.  The reference calls svd_biortho here
     # (diaglib.f90:2908-2914), but the overlap of *converged* eigenpairs is
@@ -517,4 +529,5 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
         rms_history_r=out_r.rms_h, max_history_r=out_r.max_h,
         rms_history_l=out_l.rms_h, max_history_l=out_l.max_h,
         eig_history=out_l.eig_h,
+        ortho_ok=out_r.ortho_ok & seed_ok & out_l.ortho_ok,
     )

@@ -97,6 +97,10 @@ class SolverResult:
     rms_history/max_history/eig_history: (max_iter, n_max) per-iteration
           convergence tables (the reference prints these when verbose,
           diaglib.f90:381-385; we return them).
+    ortho_ok: scalar bool, False if any orthogonalization step failed to
+          converge during the solve (the reference hard-stops there,
+          diaglib.f90:3568/3657; here the contaminated-basis condition is
+          reported so callers can reject or retry the solve).
     """
 
     eig: jax.Array
@@ -108,6 +112,7 @@ class SolverResult:
     rms_history: jax.Array
     max_history: jax.Array
     eig_history: jax.Array
+    ortho_ok: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -116,6 +121,7 @@ class LRSolverResult:
     """Result of a Casida linear-response solver (caslr/caslr_eff drivers).
 
     evec rows are the paired vectors (Y, Z) of length 2n.
+    ``ortho_ok`` as in SolverResult.
     """
 
     eig: jax.Array
@@ -127,12 +133,16 @@ class LRSolverResult:
     rms_history: jax.Array
     max_history: jax.Array
     eig_history: jax.Array
+    ortho_ok: jax.Array
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NonsymResult:
-    """Result of the two-sided nonsymmetric Davidson (nonsym_driver)."""
+    """Result of the two-sided nonsymmetric Davidson (nonsym_driver).
+
+    ``ortho_ok`` as in SolverResult.
+    """
 
     eig: jax.Array
     evec_r: jax.Array
@@ -146,3 +156,4 @@ class NonsymResult:
     rms_history_l: jax.Array
     max_history_l: jax.Array
     eig_history: jax.Array
+    ortho_ok: jax.Array

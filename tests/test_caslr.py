@@ -134,3 +134,24 @@ def test_caslr_agreement_between_algorithms(casida):
                    **ops).eig[:N_WANT]
     np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(e0), np.asarray(e2), rtol=1e-9)
+
+
+def test_caslr_half_zero_guess_repaired_per_row(casida):
+    """A guess with SOME zero rows (vectors) must be repaired row-wise —
+    check_guess contract (diaglib.f90:3734-3786) extended to the LR
+    drivers; a block-granular check would feed a rank-deficient block
+    into ortho_cd."""
+    _, ops, pc_std, pc_eff, guess, omega, xs = casida
+    half = guess.at[N_EIG // 2:].set(0.0)  # zero out half the guess vectors
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=100, tol=TOL,
+                         max_dav=10)
+    res = caslr(lrprec=pc_std, evec_guess=half, options=opts,
+                key=jax.random.PRNGKey(5), **ops)
+    assert bool(res.ok) and bool(res.ortho_ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:N_WANT]), omega[:N_WANT],
+                               rtol=1e-9)
+    res_eff = caslr_eff(lrprec=pc_eff, evec_guess=half, options=opts,
+                        key=jax.random.PRNGKey(5), **ops)
+    assert bool(res_eff.ok)
+    np.testing.assert_allclose(np.asarray(res_eff.eig[:N_WANT]),
+                               omega[:N_WANT], rtol=1e-9)

@@ -99,6 +99,29 @@ def test_davidson_history_shapes(problem):
     assert not done[first_false:].any() or done.all()
 
 
+def test_davidson_ortho_failure_sets_flag():
+    """A problem too small for its block size makes expansion impossible
+    (4 existing + 4 new vectors cannot be mutually orthogonal in R^6):
+    the solver must surface the contaminated basis via ortho_ok=False
+    (reference semantics: hard stop at diaglib.f90:3568)."""
+    n = 6
+    a = symm_matrix(n)
+    opts = SolverOptions(n_targ=4, n_max=4, max_iter=5, tol=1e-12)
+    guess = jnp.zeros((4, n), jnp.float64)
+    res = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)), guess, opts,
+                   key=jax.random.PRNGKey(2))
+    assert not bool(res.ortho_ok)
+
+
+def test_davidson_healthy_solve_reports_ortho_ok(problem):
+    a, _, _ = problem
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=100, tol=TOL)
+    guess = jnp.zeros((N_EIG, N), jnp.float64)
+    res = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)), guess, opts,
+                   key=jax.random.PRNGKey(21))
+    assert bool(res.ok) and bool(res.ortho_ok)
+
+
 def test_davidson_jit_compiles_once(problem):
     a, _, _ = problem
     opts = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=100, tol=TOL)

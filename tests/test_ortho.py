@@ -173,10 +173,33 @@ def test_biortho_vs_x():
     xl, xr = svd_biortho(_rand(KEY, 4), _rand(jax.random.PRNGKey(23), 4))
     ul = _rand(jax.random.PRNGKey(29), 3)
     ur = _rand(jax.random.PRNGKey(31), 3)
-    ul_out, ur_out = biortho_vs_x(xl, xr, ul, ur)
+    ul_out, ur_out, done = biortho_vs_x(xl, xr, ul, ur)
     assert float(jnp.max(jnp.abs(ul_out @ ur_out.T - jnp.eye(3)))) < 1e-10
     assert float(jnp.max(jnp.abs(xl @ ur_out.T))) < 1e-10
     assert float(jnp.max(jnp.abs(xr @ ul_out.T))) < 1e-10
+    assert bool(done)
+
+
+def test_ortho_cd_reports_exact_rank_deficiency():
+    """Exactly duplicated rows can never be orthonormalized by the
+    shift-ladder path; ortho_cd must report ok=False (the condition its
+    callers turn into the QR fallback, diaglib.f90:3533-3549)."""
+    base = _rand(KEY, 3)
+    dup = jnp.concatenate([base, base])
+    out, growth, ok = ortho_cd(dup)
+    assert not bool(ok)
+
+
+def test_ortho_vs_x_impossible_reports_failure():
+    """When X already spans the whole space, no block can be made both
+    orthonormal and orthogonal to X: the iterated projection must give up
+    and report done=False (the reference hard-stops here,
+    diaglib.f90:3568)."""
+    n = 4
+    x = jnp.eye(n, dtype=jnp.float64)  # spans all of R^n
+    u = jax.random.normal(jax.random.PRNGKey(37), (2, n), dtype=jnp.float64)
+    u_out, done = ortho_vs_x(x, u)
+    assert not bool(done)
 
 
 def test_masked_eigh_matches_dense():
