@@ -1,18 +1,24 @@
-"""Benchmark driver: one JSON line on stdout, detail on stderr.
+"""Benchmark driver: one JSON line on stdout, a metric suite on stderr.
 
-Headline metric: wall time for a full Davidson-Liu solve of the flagship
-matrix-free workload — 10 lowest eigenpairs of a 65536-dim SPD block-sparse
-operator (BSR, 512-blocks, ~500M nnz) to tol 1e-10 rms — on the
-available accelerator.  This exercises the whole framework: the Pallas/BSR
-SpMM matvec, the masked static-shape solver loop, the mixed-precision Jacobi
-reduced eigensolver and the orthogonalization kernels.
+Headline metric (the stdout JSON): wall time for a full mixed-precision
+Davidson-Liu solve of the flagship matrix-free workload — 10 lowest
+eigenpairs of a 65536-dim SPD block-sparse operator (BSR, 512-blocks,
+~500M nnz) to tol 1e-10 rms — on the available accelerator.  This
+exercises the whole framework: the int8-MXU Ozaki-sliced SpMM, the masked
+static-shape solver loop, the mixed-precision Jacobi reduced eigensolver
+and the orthogonalization kernels.
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.md); we report
-speedup vs the previous round's recorded value (BENCH_r{N}.json in the repo
-root), 1.0 when none exists.
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); we
+report speedup vs the previous round's recorded value (BENCH_r{N}.json in
+the repo root), 1.0 when none exists.
 
-Secondary numbers (stderr): SpMM throughput in Gnnz/s, the reference's exact
-n=1000 toy protocol (main.f90:14-18) solve time, iteration and matvec counts.
+The FULL metric suite goes to stderr as one JSON object per line
+(``{"metric": ..., "value": ..., "unit": ...}``) covering: the flagship
+Davidson ladder, the flagship-scale Casida (caslr_eff) ladder on sliced
+(A+B)/(A-B) operators, the LOBPCG ladder, SpMM f32/f64-tier throughputs,
+and the five reference toy protocols (main.f90:14-18 config) — so
+round-over-round regressions are visible on every axis, not just the
+headline.  BASELINE.md tables are generated from these lines.
 """
 
 from __future__ import annotations
@@ -34,17 +40,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from diaglib_tpu import SolverOptions  # noqa: E402
 from diaglib_tpu.ops import bsr_matvec, random_bsr_spd  # noqa: E402
 from diaglib_tpu.problems import (  # noqa: E402
+    casida_blocks,
     dense_matvec,
     diag_precnd,
+    lrprec_eff,
+    lrprec_std,
+    metric_matrix,
+    nonsym_matrix,
     symm_matrix,
 )
 from diaglib_tpu.solvers import davidson  # noqa: E402
 
 METRIC = "davidson_bsr_n65536_f64_wall"
+SUITE = []
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def emit(metric, value, unit, **extra):
+    rec = {"metric": metric, "value": round(float(value), 4), "unit": unit}
+    rec.update(extra)
+    SUITE.append(rec)
+    log(json.dumps(rec))
 
 
 def prev_value():
@@ -82,43 +101,52 @@ def bench_spmm():
     y = many(m, x)
     _ = float(y[0, 0])  # value fetch before the clock stops
     dt = (time.time() - t0) / rep
-    log(f"spmm f32 n={n} B={B}: {dt*1e3:.2f} ms/matvec, "
-        f"{m.nnz/1e9/dt:.1f} Gnnz/s")
+    emit("spmm_f32_gnnzps", m.nnz / 1e9 / dt, "Gnnz/s",
+         ms_per_matvec=round(dt * 1e3, 2))
 
-    # f64-accurate SpMM on the int8 MXU (Ozaki slices)
+    # f64-accurate and f32-tier SpMM on the int8 MXU (Ozaki slices)
     from diaglib_tpu.ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
     ms = slice_bsr(m)
     del m
     x64 = x.astype(jnp.float64)
-    rep64 = 20
+    for tag, dtype, xx, rep_t in (("spmm_f64_gnnzps", jnp.float64, x64, 20),
+                                  ("spmm_sliced_f32_gnnzps", jnp.float32, x,
+                                   20)):
+        @jax.jit
+        def many_t(ms, x):
+            def body(i, acc):
+                return sliced_bsr_matvec(ms, dtype=dtype)(acc) * 1e-3
+            return jax.lax.fori_loop(0, rep_t, body, x)
 
-    @jax.jit
-    def many64(ms, x):
-        def body(i, acc):
-            return sliced_bsr_matvec(ms)(acc) * 1e-3
-        return jax.lax.fori_loop(0, rep64, body, x)
+        y = many_t(ms, xx)
+        _ = float(y[0, 0])  # fetch-terminated warmup
+        t0 = time.time()
+        y = many_t(ms, xx)
+        _ = float(y[0, 0])  # value fetch before the clock stops
+        dt = (time.time() - t0) / rep_t
+        emit(tag, ms.nnz / 1e9 / dt, "Gnnz/s",
+             ms_per_matvec=round(dt * 1e3, 2))
 
-    y = many64(ms, x64)
-    _ = float(y[0, 0])  # fetch-terminated warmup
+
+def _steady(run, args_of_key, warm_key, keys, fetch_ok=True):
+    """Fetch-terminated steady-state timing over varying-key solves: the
+    axon runtime's block_until_ready does not await device execution, so
+    only a scalar fetch after a loop of varying inputs is honest."""
+    res = run(*args_of_key(warm_key))
+    _ = bool(res.ok)
     t0 = time.time()
-    y = many64(ms, x64)
-    _ = float(y[0, 0])  # value fetch before the clock stops
-    dt = (time.time() - t0) / rep64
-    log(f"spmm f64-accurate (sliced int8): {dt*1e3:.2f} ms/matvec, "
-        f"{ms.nnz/1e9/dt:.1f} Gnnz/s")
+    for k in keys:
+        res = run(*args_of_key(k))
+    ok = bool(res.ok)  # value fetch: waits for the full pipeline
+    return (time.time() - t0) / len(keys), res, ok
 
 
 def bench_davidson_bsr():
     """Flagship: mixed-precision ladder (solvers/mixed.py) on the Ozaki
     integer-sliced operator (ops/bsr_sliced.py) — both tiers served by ONE
-    int8 slice store on the MXU — to full f64 1e-10 rms convergence.
-
-    The f64 tier is exact to ~1e-15 relative (more accurate than XLA's
-    emulated-f64 dot, and 8.9x faster per matvec measured on v5e); all
-    long Gram/rotation contractions also take the sliced path via
-    utils/mm.py auto-dispatch."""
+    int8 slice store on the MXU — to full f64 1e-10 rms convergence."""
     from diaglib_tpu.ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
-    from diaglib_tpu.solvers import davidson_ladder
+    from diaglib_tpu.solvers import davidson_ladder, lobpcg_ladder
 
     n, B, bpr = 65536, 512, 8
     n_want, n_eig = 10, 15
@@ -127,57 +155,143 @@ def bench_davidson_bsr():
     del m32
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
                          max_dav=10)
+    g = jnp.zeros((n_eig, n), jnp.float64)
 
     run = jax.jit(lambda ms, g, k: davidson_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
         lo_tol=2e-6, lo_iter=35, key=k))
-    g = jnp.zeros((n_eig, n), jnp.float64)
 
     t0 = time.time()
     res = jax.block_until_ready(run(ms, g, jax.random.PRNGKey(1)))
     log(f"davidson ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
-        f"ok={bool(res.ok)} iters={int(res.n_iter)} matvecs={int(res.n_matvec)}")
+        f"ok={bool(res.ok)} iters={int(res.n_iter)} "
+        f"matvecs={int(res.n_matvec)}")
     if not bool(res.ok):
         log("WARNING: flagship solve did not converge")
 
-    # time several varying-key solves and FETCH a scalar before stopping
-    # the clock: the axon runtime's block_until_ready does not await actual
-    # device execution (single-call timings measure the previous call's
-    # leftover work), so only fetch-terminated loops over varying inputs
-    # give honest numbers
-    rep = 3
-    t0 = time.time()
-    for i in range(rep):
-        res = run(ms, g, jax.random.PRNGKey(2 + i))
-    ok = bool(res.ok)  # value fetch: waits for the full pipeline
-    dt = (time.time() - t0) / rep
+    dt, res, ok = _steady(
+        run, lambda k: (ms, g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(2 + i) for i in range(3)])
     f64_iters = int(jnp.sum(jnp.isfinite(res.rms_history[:, 0])))
-    log(f"davidson ladder steady-state: {dt:.2f}s/solve (over {rep}) "
-        f"total_iters={int(res.n_iter)} f64_iters={f64_iters} ok={ok}")
+    emit(METRIC, dt, "s", ok=ok, iters=int(res.n_iter), f64_iters=f64_iters)
+
+    # LOBPCG ladder on the same operator/tolerances
+    run_l = jax.jit(lambda ms, g, k: lobpcg_ladder(
+        sliced_bsr_matvec(ms, dtype=jnp.float32),
+        diag_precnd(ms.diagonal.astype(jnp.float32)),
+        sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
+        lo_tol=2e-6, lo_iter=70, key=k))
+    dt_l, res_l, ok_l = _steady(
+        run_l, lambda k: (ms, g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(12 + i) for i in range(3)])
+    emit("lobpcg_bsr_n65536_f64_wall", dt_l, "s", ok=ok_l,
+         iters=int(res_l.n_iter))
     return dt, ok
 
 
+def bench_caslr_bsr():
+    """Flagship-scale Casida: caslr_eff mixed-precision ladder on sliced
+    (A+B)/(A-B) BSR operators (~1B nnz total), tdscf structure
+    (caslr_eff_driver semantics, diaglib.f90:1024-1481)."""
+    from diaglib_tpu.problems import bsr_casida_tdscf
+    from diaglib_tpu.solvers import caslr_eff_ladder
+
+    n, B, bpr = 65536, 512, 8
+    n_want, n_eig = 10, 15
+    ops_lo, ops_hi, diag_aa, _ = bsr_casida_tdscf(
+        n, B, bpr, jax.random.PRNGKey(0))
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
+                         max_dav=10)
+    g = jnp.zeros((n_eig, 2 * n), jnp.float64)
+
+    run = jax.jit(lambda g, k: caslr_eff_ladder(
+        ops_lo, ops_hi, g, opts, lo_tol=2e-6, lo_iter=60, key=k))
+    t0 = time.time()
+    res = jax.block_until_ready(run(g, jax.random.PRNGKey(1)))
+    log(f"caslr_eff ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
+        f"ok={bool(res.ok)} iters={int(res.n_iter)} "
+        f"matvecs={int(res.n_matvec)}")
+    dt, res, ok = _steady(
+        run, lambda k: (g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(2 + i) for i in range(3)])
+    emit("caslr_eff_bsr_n65536_f64_wall", dt, "s", ok=ok,
+         iters=int(res.n_iter), n_matvec=int(res.n_matvec))
+
+
 def bench_toy():
-    """The reference's exact toy protocol (main.f90:14-18)."""
+    """The reference's five toy protocols (main.f90:14-18 config)."""
+    from diaglib_tpu.solvers import (
+        caslr,
+        caslr_eff,
+        gen_david,
+        lobpcg,
+        nonsym,
+    )
+    from diaglib_tpu.utils.guess import guess_evec
+
     n, n_want, n_eig = 1000, 10, 15
-    a = symm_matrix(n)
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=100, tol=1e-8,
                          max_dav=20)
-    run = jax.jit(lambda a, g, k: davidson(
-        dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
+    a = symm_matrix(n)
+    diag = jnp.diagonal(a)
     g = jnp.zeros((n_eig, n), jnp.float64)
-    res = run(a, g, jax.random.PRNGKey(1))
-    _ = bool(res.ok)  # fetch-terminated warmup
-    rep = 10
-    t0 = time.time()
-    for i in range(rep):
-        res = run(a, g, jax.random.PRNGKey(2 + i))
-    ok = bool(res.ok)  # value fetch before the clock stops
-    dt = (time.time() - t0) / rep
-    log(f"toy n=1000 (reference protocol): {dt*1e3:.1f} ms/solve "
-        f"iters={int(res.n_iter)} ok={ok}")
+    keys = [jax.random.PRNGKey(2 + i) for i in range(10)]
+
+    def steady(name, run, args_of_key):
+        dt, res, ok = _steady(run, args_of_key, jax.random.PRNGKey(1), keys)
+        emit(f"toy_{name}_ms", dt * 1e3, "ms", ok=ok, iters=int(res.n_iter))
+
+    run_d = jax.jit(lambda a, g, k: davidson(
+        dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
+    steady("davidson", run_d, lambda k: (a, g, k))
+
+    run_l = jax.jit(lambda a, g, k: lobpcg(
+        dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
+    steady("lobpcg", run_l, lambda k: (a, g, k))
+
+    s = metric_matrix(n, jax.random.PRNGKey(1))
+    run_g = jax.jit(lambda a, s, g, k: gen_david(
+        dense_matvec(a), diag_precnd(jnp.diagonal(a)), dense_matvec(s),
+        g, opts, key=k))
+    steady("gen_david", run_g, lambda k: (a, s, g, k))
+
+    blk = casida_blocks(n, jax.random.PRNGKey(1))
+    dlr = jnp.diagonal(blk["aa"]) - jnp.diagonal(blk["sigma"])
+    glr = guess_evec(4, jax.random.PRNGKey(1), 2 * n, n_eig, diagonal=dlr)
+    pc_std = lrprec_std(jnp.diagonal(blk["aa"]), jnp.diagonal(blk["sigma"]))
+    pc_eff = lrprec_eff(jnp.diagonal(blk["aa"]), jnp.diagonal(blk["sigma"]))
+    ops = dict(apbmul=dense_matvec(blk["apb"]),
+               ambmul=dense_matvec(blk["amb"]),
+               spdmul=dense_matvec(blk["spd"]),
+               smdmul=dense_matvec(blk["smd"]))
+
+    run_c = jax.jit(lambda g, k: caslr(
+        lrprec=pc_std, evec_guess=g, options=opts, **ops))
+    steady("caslr", run_c, lambda k: (glr, k))
+    run_c0 = jax.jit(lambda g, k: caslr(
+        lrprec=pc_std, evec_guess=g, options=opts, algorithm=0, **ops))
+    steady("caslr_alg0", run_c0, lambda k: (glr, k))
+    run_e = jax.jit(lambda g, k: caslr_eff(
+        lrprec=pc_eff, evec_guess=g, options=opts, **ops))
+    steady("caslr_eff", run_e, lambda k: (glr, k))
+
+    an = nonsym_matrix(n, jax.random.PRNGKey(1), variant=4)
+    dn = jnp.diagonal(an)
+    gn = guess_evec(6, jax.random.PRNGKey(1), n, n_want, diagonal=dn)
+    on = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=100, tol=1e-8,
+                       max_dav=20)
+
+    # nonsym's host-dgeev loop is Python-orchestrated on this runtime:
+    # time it directly (no outer jit)
+    def run_n(g, k):
+        return nonsym(dense_matvec(an), dense_matvec(an.T), diag_precnd(dn),
+                      g, on, side="c", key=k)
+
+    dt, res, ok = _steady(run_n, lambda k: (gn, k), jax.random.PRNGKey(1),
+                          keys[:3])
+    emit("toy_nonsym_ms", dt * 1e3, "ms", ok=ok, iters=int(res.n_iter))
 
 
 def main():
@@ -186,14 +300,11 @@ def main():
     # process has been observed to leave the axon TPU runtime in a state
     # where the subsequent large f64 program faults
     dt, ok = bench_davidson_bsr()
-    try:
-        bench_spmm()
-    except Exception as e:  # secondary metric; never fail the bench on it
-        log(f"spmm bench failed: {e}")
-    try:
-        bench_toy()
-    except Exception as e:
-        log(f"toy bench failed: {e}")
+    for fn in (bench_caslr_bsr, bench_spmm, bench_toy):
+        try:
+            fn()
+        except Exception as e:  # secondary metrics; never fail the bench
+            log(f"{fn.__name__} failed: {e}")
     prev = prev_value()
     vs = (prev / dt) if prev else 1.0
     print(json.dumps({
@@ -201,6 +312,7 @@ def main():
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(vs, 4),
+        "suite": SUITE,
     }), flush=True)
 
 

@@ -151,9 +151,16 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
     )
 
 
-def _sliced_kernel(nx: int, na: int, nlev: int, k: int, B: int):
+def _sliced_kernel(nx: int, na: int, nlev: int, k: int, B: int,
+                   blocked_x: bool = False):
     """Kernel: per entry, one (nx*k, B) x (B, na*B) int8 dot, folded into
-    per-level int32 accumulators (exact; see module docstring)."""
+    per-level int32 accumulators (exact; see module docstring).
+
+    ``blocked_x`` selects the x delivery: False keeps the whole (nx*k, n)
+    slice array VMEM-resident (fastest; x is fetched once per matvec),
+    True receives only the entry's (nx*k, B) column block from the
+    BlockSpec pipeline (slower — x re-streams per entry — but VMEM use is
+    O(k*B), so arbitrarily large n*k configurations run)."""
 
     def kern(rows_ref, cols_ref, first_ref, xs_ref, blk_ref, o_ref):
         g = pl.program_id(0)
@@ -162,22 +169,32 @@ def _sliced_kernel(nx: int, na: int, nlev: int, k: int, B: int):
         def _():
             o_ref[:, :] = jnp.zeros_like(o_ref)
 
-        c = cols_ref[g]
-        xb = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]   # (nx*k, B)
+        if blocked_x:
+            xb = xs_ref[:, :]                                # (nx*k, B)
+        else:
+            c = cols_ref[g]
+            xb = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]
         prod = jax.lax.dot_general(
             xb, blk_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)                # (nx*k, na*B)
-        for lev in range(nlev):
-            acc = None
-            for i in range(na):
-                j = lev - i
-                if 0 <= j < nx:
-                    term = prod[j * k:(j + 1) * k, i * B:(i + 1) * B]
-                    acc = term if acc is None else acc + term
-            if acc is not None:
-                o_ref[lev * k:(lev + 1) * k, :] += acc
+        # banded fold: level lev collects pair (j, i = lev - j); for plane
+        # i the contributing x-slices are a contiguous row band, so one
+        # shifted block add per plane replaces the per-pair extraction
+        for i in range(na):
+            nxi = min(nx, nlev - i)
+            if nxi <= 0:
+                continue
+            o_ref[i * k:(i + nxi) * k, :] += (
+                prod[0:nxi * k, i * B:(i + 1) * B])
 
     return kern
+
+
+# VMEM budget for the resident-x fast path: the x-slice array plus the
+# double-buffered slice blocks and the output tile must fit on chip
+# (~128 MB on v5e); beyond this the kernel switches to per-column-block x
+# delivery, which runs at any size.
+_VMEM_BUDGET = 100 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("nx", "nlev", "na_used",
@@ -193,13 +210,24 @@ def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
         [jnp.ones((1,), jnp.int32),
          (m.rows[1:] != m.rows[:-1]).astype(jnp.int32)])
 
+    resident_bytes = (nx * k * n                 # x slices (int8)
+                      + 2 * B * na * B           # double-buffered slice block
+                      + 2 * nlev * k * B * 4)    # output tiles (int32)
+    blocked_x = resident_bytes > _VMEM_BUDGET
+    if blocked_x:
+        x_spec = pl.BlockSpec((nx * k, B),
+                              lambda e, rows, cols, first: (e * 0, cols[e]),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((nx * k, n),
+                              lambda e, rows, cols, first: (e * 0, e * 0),
+                              memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(m.nnzb,),
         in_specs=[
-            pl.BlockSpec((nx * k, n),
-                         lambda e, rows, cols, first: (e * 0, e * 0),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             # block narrower than the array: a lower tier reads only the
             # leading na*B slice-plane columns, with no data movement
             pl.BlockSpec((1, B, na * B),
@@ -211,12 +239,12 @@ def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
                                memory_space=pltpu.VMEM),
     )
     p = pl.pallas_call(
-        _sliced_kernel(nx, na, nlev, k, B),
+        _sliced_kernel(nx, na, nlev, k, B, blocked_x=blocked_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m.nnzb * nx * k * B * na * B,
             bytes_accessed=m.nnzb * B * na * B + nlev * k * m.n * 4,
@@ -274,16 +302,23 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
     w = combine_weights(nlev, _BITS,
                         jnp.float64 if dtype == jnp.float64 else jnp.float32)
 
+    acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
     def mv(x):
         k, n = x.shape
         p, sx = _sliced_spmm(m, x, nx=nx, nlev=nlev, na_used=na_used,
                              interpret=interpret)
-        if dtype == jnp.float64:
-            lv = p.reshape(nlev, k, n).astype(jnp.float64)
-        else:
-            lv = p.reshape(nlev, k, n).astype(jnp.float32)
-        y = jnp.tensordot(w, lv, axes=1)                     # (k, n)
-        y = y * sx * m.col_scale[None, :].astype(y.dtype)
+        lv = p.reshape(nlev, k, n)
+        # UNROLLED level combine, deepest (smallest) level first.  A
+        # jnp.tensordot over the tiny nlev axis looks equivalent but XLA
+        # lowers it to an emulated-f64 *dot* costing ~6.5 ms/matvec at the
+        # flagship size — half the total — while the unrolled axpy chain
+        # fuses into the cast for free (int32 -> f64 exact, power-of-two
+        # weights exact; only the final f64 adds round, smallest first).
+        y = jnp.zeros((k, n), acc_dtype)
+        for lev in range(nlev - 1, -1, -1):
+            y = y + lv[lev].astype(acc_dtype) * w[lev]
+        y = y * sx.astype(acc_dtype) * m.col_scale[None, :].astype(acc_dtype)
         return y.astype(dtype)
 
     return mv

@@ -31,6 +31,7 @@ __all__ = [
     "nonsym_matrix",
     "dense_matvec",
     "diag_precnd",
+    "bsr_casida_tdscf",
     "lrprec_eff",
     "lrprec_std",
 ]
@@ -172,6 +173,48 @@ def lrprec_std(aa_diag, sigma_diag):
         return yp, ym
 
     return pc
+
+
+def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
+                     na: int | None = None, interpret: bool = False):
+    """Flagship-scale Casida problem on Ozaki-sliced BSR operators.
+
+    TD-SCF structure (test_scflr protocol, main.f90:732-908 at production
+    scale): sigma = I, delta = 0, so spd = smd = identity and the heavy
+    operators are A+B and A-B — two independent SPD block-sparse matrices
+    stored once as int8 slices (ops/bsr_sliced.py) serving BOTH precision
+    tiers of the mixed-precision LR ladder (solvers/mixed.py).
+
+    Returns ``(ops_lo, ops_hi, diag_aa, (apb, amb))``: the f32- and
+    f64-tier :class:`~diaglib_tpu.types.LROps` bundles (with the paired
+    diagonal ``lrprec_eff`` preconditioners), the (A+B)/(A-B)-averaged
+    diagonal, and the two underlying SlicedBSR operators (oracles/tests).
+    """
+    from .ops.bsr import random_bsr_spd
+    from .ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
+    from .types import LROps
+
+    k1, k2 = jax.random.split(key)
+    apb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, k1,
+                                   dtype=jnp.float32), na=na)
+    amb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, k2,
+                                   dtype=jnp.float32), na=na)
+    diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
+    ident = lambda x: x  # noqa: E731 — sigma = I, delta = 0 (tdscf)
+    ops_hi = LROps(
+        apbmul=sliced_bsr_matvec(apb, interpret=interpret),
+        ambmul=sliced_bsr_matvec(amb, interpret=interpret),
+        spdmul=ident, smdmul=ident,
+        lrprec=lrprec_eff(diag_aa, jnp.ones((n,), jnp.float64)),
+    )
+    f32 = jnp.float32
+    ops_lo = LROps(
+        apbmul=sliced_bsr_matvec(apb, dtype=f32, interpret=interpret),
+        ambmul=sliced_bsr_matvec(amb, dtype=f32, interpret=interpret),
+        spdmul=ident, smdmul=ident,
+        lrprec=lrprec_eff(diag_aa.astype(f32), jnp.ones((n,), f32)),
+    )
+    return ops_lo, ops_hi, diag_aa, (apb, amb)
 
 
 def lrprec_eff(aa_diag, sigma_diag):

@@ -3,8 +3,29 @@
 from .caslr import caslr, caslr_eff
 from .davidson import davidson, gen_david
 from .lobpcg import lobpcg
-from .mixed import davidson_ladder, lobpcg_ladder
+from .mixed import (
+    LROps,
+    caslr_eff_ladder,
+    caslr_ladder,
+    davidson_ladder,
+    gen_david_ladder,
+    lobpcg_ladder,
+    nonsym_ladder,
+)
 from .nonsym import nonsym
 
-__all__ = ["caslr", "caslr_eff", "davidson", "davidson_ladder", "gen_david",
-           "lobpcg", "lobpcg_ladder", "nonsym"]
+__all__ = [
+    "LROps",
+    "caslr",
+    "caslr_eff",
+    "caslr_eff_ladder",
+    "caslr_ladder",
+    "davidson",
+    "davidson_ladder",
+    "gen_david",
+    "gen_david_ladder",
+    "lobpcg",
+    "lobpcg_ladder",
+    "nonsym",
+    "nonsym_ladder",
+]

@@ -79,7 +79,8 @@ def _callbacks_supported() -> bool:
     return _CALLBACK_SUPPORT[backend]
 
 
-def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max):
+def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max,
+                      out_dtype=np.float64):
     """dgeev + sort + root homing on the host (numpy), static shapes.
 
     a_red: (L, L) with the leading ldu x ldu block valid (G[i,j] = s_i.A s_j).
@@ -207,9 +208,9 @@ def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max):
     vr_out[:ldu, :ldu] = vr
     vl_out[:ldu, :ldu] = vl
     return (
-        wr_out.astype(np.float64),
-        vr_out.astype(np.float64),
-        vl_out.astype(np.float64),
+        wr_out.astype(out_dtype),
+        vr_out.astype(out_dtype),
+        vl_out.astype(out_dtype),
         np.bool_(found_im),
     )
 
@@ -270,11 +271,14 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
 
     guess = check_guess(guess, key)
 
-    host = functools.partial(_host_reduced_eig, n_max=n_max)
+    # the host solve always runs dgeev in f64; results come back in the
+    # solver's working precision so an f32 ladder stage stays f32 end to end
+    host = functools.partial(_host_reduced_eig, n_max=n_max,
+                             out_dtype=np.dtype(dtype))
     out_spec = (
-        jax.ShapeDtypeStruct((lda_pad,), jnp.float64),
-        jax.ShapeDtypeStruct((lda_pad, lda_pad), jnp.float64),
-        jax.ShapeDtypeStruct((lda_pad, lda_pad), jnp.float64),
+        jax.ShapeDtypeStruct((lda_pad,), dtype),
+        jax.ShapeDtypeStruct((lda_pad, lda_pad), dtype),
+        jax.ShapeDtypeStruct((lda_pad, lda_pad), dtype),
         jax.ShapeDtypeStruct((), jnp.bool_),
     )
 

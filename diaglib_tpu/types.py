@@ -33,11 +33,25 @@ __all__ = [
     "MatVec",
     "PrecndFn",
     "LRPrecndFn",
+    "LROps",
     "SolverOptions",
     "SolverResult",
     "LRSolverResult",
     "NonsymResult",
 ]
+
+
+@dataclasses.dataclass(frozen=True)
+class LROps:
+    """The Casida four-operator bundle + paired preconditioner
+    (diaglib.f90:569-570 callback contract), e.g. one precision tier of a
+    mixed-precision LR ladder (solvers/mixed.py)."""
+
+    apbmul: MatVec
+    ambmul: MatVec
+    spdmul: MatVec
+    smdmul: MatVec
+    lrprec: LRPrecndFn
 
 
 @dataclasses.dataclass(frozen=True)
