@@ -61,3 +61,25 @@ def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
     print(f"    total:                {wall_s:12.4f} s{note}", file=file)
     print(f"    iterations:           {n_iter:12d}", file=file)
     print(f"    operator applications:{n_matvec:12d}", file=file)
+
+
+def inflight_progress(name: str, it, n_act, eig, rms, rmx):
+    """One live progress line per iteration (SolverOptions.verbose).
+
+    The reference prints its per-root table as it iterates
+    (diaglib.f90:459-464); on TPU the equivalent is a ``jax.debug.print``
+    host callback from inside the compiled while_loop — zero cost when
+    verbose is off (the call is simply not traced in).
+    """
+    import jax
+
+    jax.debug.print(
+        name + " it={it} n_act={na} eig0={e:.12e} rms={r:.3e} max={m:.3e}",
+        it=it, na=n_act, e=eig[0], r=jnp_max(rms), m=jnp_max(rmx),
+        ordered=False)
+
+
+def jnp_max(x):
+    import jax.numpy as jnp
+
+    return jnp.max(jnp.where(jnp.isfinite(x), x, 0.0))

@@ -299,6 +299,10 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         eig_h = s.eig_h.at[s.it].set(eig)
         rms_h = s.rms_h.at[s.it].set(rms)
         max_h = s.max_h.at[s.it].set(rmx)
+        if options.verbose:
+            from ..reporting import inflight_progress
+            inflight_progress("caslr", s.it, s.n_act, eig_h[s.it], rms, rmx)
+
 
         n_frozen = jnp.sum(done, dtype=jnp.int32)
         n_act_new = (n_max - n_frozen).astype(jnp.int32)
@@ -472,6 +476,11 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         eig_h = s.eig_h.at[s.it].set(1.0 / inv_w)
         rms_h = s.rms_h.at[s.it].set(rms)
         max_h = s.max_h.at[s.it].set(rmx)
+        if options.verbose:
+            from ..reporting import inflight_progress
+            inflight_progress("caslr_eff", s.it, s.n_act, eig_h[s.it],
+                              rms, rmx)
+
 
         n_frozen = jnp.sum(done, dtype=jnp.int32)
         n_act_new = (n_max - n_frozen).astype(jnp.int32)

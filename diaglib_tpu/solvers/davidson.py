@@ -163,6 +163,11 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         eig_h = s.eig_h.at[s.it].set(eig - options.shift)
         rms_h = s.rms_h.at[s.it].set(rms)
         max_h = s.max_h.at[s.it].set(rmx)
+        if options.verbose:
+            from ..reporting import inflight_progress
+            inflight_progress("davidson", s.it, s.n_act, eig_h[s.it],
+                              rms, rmx)
+
 
         n_frozen = jnp.sum(done, dtype=jnp.int32)
         n_act_new = (n_max - n_frozen).astype(jnp.int32)

@@ -332,6 +332,11 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         eig_h = s.eig_h.at[s.it].set(eig - options.shift)
         rms_h = s.rms_h.at[s.it].set(rms)
         max_h = s.max_h.at[s.it].set(rmx)
+        if options.verbose:
+            from ..reporting import inflight_progress
+            inflight_progress("nonsym", s.it, s.n_act, eig_h[s.it],
+                              rms, rmx)
+
 
         copy_r = jnp.zeros((lda_pad, 2 * n_max), dtype).at[:, : 2 * n_max].set(
             vr[:, : 2 * n_max])

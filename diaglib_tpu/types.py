@@ -72,6 +72,13 @@ class SolverOptions:
               "device" (jnp.linalg), "host" (pure_callback to LAPACK, the
               reference's own split), or "auto" (host iff compiling for
               TPU).  See utils/reduced.py.
+    verbose:  emit one in-flight progress line per iteration via
+              ``jax.debug.print`` (the reference's live per-root table,
+              diaglib.f90:459-464; full per-root histories are always
+              returned in the result and renderable post hoc with
+              ``reporting.print_convergence_table``).  Requires a runtime
+              with host debug callbacks (standard CPU/GPU/Cloud-TPU; some
+              experimental PJRT plugins lack them).
     """
 
     n_targ: int
@@ -81,6 +88,7 @@ class SolverOptions:
     max_dav: int = 20
     shift: float = 0.0
     reduced_solver: str = "auto"
+    verbose: bool = False
 
     def __post_init__(self):
         if self.n_max < self.n_targ:

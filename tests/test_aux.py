@@ -79,3 +79,25 @@ def test_checkpoint_resume_contract():
     np.testing.assert_allclose(np.asarray(resumed.eig[:N_WANT]),
                                np.asarray(full.eig[:N_WANT]), rtol=0,
                                atol=1e-9)
+
+
+def test_verbose_inflight_progress(capfd):
+    """SolverOptions.verbose emits one live line per iteration via
+    jax.debug.print (the reference's live table, diaglib.f90:459-464)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diaglib_tpu import SolverOptions
+    from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+    from diaglib_tpu.solvers import davidson
+
+    a = symm_matrix(100)
+    opts = SolverOptions(n_targ=2, n_max=4, max_iter=50, tol=1e-8,
+                         verbose=True)
+    res = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                   jnp.zeros((4, 100)), opts, key=jax.random.PRNGKey(1))
+    jax.effects_barrier()
+    assert bool(res.ok)
+    out = capfd.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("davidson it=")]
+    assert len(lines) == int(res.n_iter)
