@@ -198,7 +198,9 @@ def bench_caslr_bsr():
     from diaglib_tpu.problems import bsr_casida_tdscf
     from diaglib_tpu.solvers import caslr_eff_ladder
 
-    n, B, bpr = 65536, 512, 8
+    # bpr=4 per matrix: 2 x 251M nnz (503M total), 2 x 2.1 GiB slice
+    # stores — comfortably inside one 16 GiB chip next to solver state
+    n, B, bpr = 65536, 512, 4
     n_want, n_eig = 10, 15
     ops_lo, ops_hi, diag_aa, _ = bsr_casida_tdscf(
         n, B, bpr, jax.random.PRNGKey(0))

@@ -79,7 +79,7 @@ def cmd_symm(args):
     w, v = jnp.asarray(ww), jnp.asarray(vv)
     _write_results(os.path.join(args.out_dir, "lapack.txt"), w, v.T, n_want)
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=args.itmax,
-                         tol=tol, max_dav=args.m_max)
+                         tol=tol, max_dav=args.m_max, verbose=args.verbose)
     guess = guess_evec(4, jax.random.PRNGKey(args.seed), n, n_eig, diagonal=diag)
 
     res, dt = _solve_time(lambda: lobpcg(
@@ -114,7 +114,7 @@ def cmd_geneig(args):
     _write_results(os.path.join(args.out_dir, "lapack.txt"),
                    jnp.asarray(w), jnp.asarray(v).T, n_want)
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=args.itmax,
-                         tol=tol, max_dav=args.m_max)
+                         tol=tol, max_dav=args.m_max, verbose=args.verbose)
     guess = guess_evec(4, jax.random.PRNGKey(args.seed), n, n_eig, diagonal=diag)
 
     res, dt = _solve_time(lambda: lobpcg(
@@ -161,7 +161,7 @@ def _casida(args, tdscf):
     pc_std = lrprec_std(jnp.diagonal(blk["aa"]), jnp.diagonal(blk["sigma"]))
     pc_eff = lrprec_eff(jnp.diagonal(blk["aa"]), jnp.diagonal(blk["sigma"]))
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=args.itmax,
-                         tol=tol, max_dav=args.m_max)
+                         tol=tol, max_dav=args.m_max, verbose=args.verbose)
 
     res, dt = _solve_time(lambda: caslr(
         lrprec=pc_std, evec_guess=guess, options=opts, algorithm=0, **ops))
@@ -211,7 +211,7 @@ def cmd_nonsym(args):
     w = np.sort(scipy.linalg.eig(np.asarray(a), right=False).real)
     _np = min(n_want, len(w))
     opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=args.itmax,
-                         tol=tol, max_dav=args.m_max)
+                         tol=tol, max_dav=args.m_max, verbose=args.verbose)
     guess = guess_evec(6, jax.random.PRNGKey(args.seed), n, n_want,
                        diagonal=diag)
     res, dt = _solve_time(lambda: nonsym(
@@ -243,6 +243,8 @@ def main(argv=None):
     p.add_argument("--m-max", type=int, default=20,
                    help="max_dav (reference m_max, main.f90:18)")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--verbose", action="store_true",
+                   help="live per-iteration progress (SolverOptions.verbose)")
     p.add_argument("--out-dir", default=".")
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("symm")
