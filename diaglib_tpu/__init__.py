@@ -9,10 +9,11 @@ numerically hardened orthogonalization kernels.
 
 from . import config, ortho, utils
 from .types import (
+    LROps,
     LRSolverResult,
     NonsymResult,
     SolverOptions,
     SolverResult,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -101,3 +101,40 @@ def test_verbose_inflight_progress(capfd):
     out = capfd.readouterr().out
     lines = [l for l in out.splitlines() if l.startswith("davidson it=")]
     assert len(lines) == int(res.n_iter)
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    """save/load a SolverResult and warm-start a resumed solve from it
+    (checkpoint/resume aux subsystem; the warm-start contract is the
+    reference's own, diaglib.f90:216-218)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diaglib_tpu import SolverOptions, checkpoint
+    from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+    from diaglib_tpu.solvers import davidson
+
+    a = symm_matrix(120)
+    mv, pc = dense_matvec(a), diag_precnd(jnp.diagonal(a))
+    opts_partial = SolverOptions(n_targ=3, n_max=6, max_iter=4, tol=1e-10)
+    part = davidson(mv, pc, jnp.zeros((6, 120)), opts_partial,
+                    key=jax.random.PRNGKey(1))
+    assert not bool(part.ok)  # deliberately interrupted
+
+    ckpt = str(tmp_path / "solve_ckpt")
+    checkpoint.save(ckpt, part)
+    restored = checkpoint.load(ckpt, like=part)
+    np.testing.assert_array_equal(np.asarray(restored.evec),
+                                  np.asarray(part.evec))
+
+    opts = SolverOptions(n_targ=3, n_max=6, max_iter=100, tol=1e-10)
+    res = davidson(mv, pc, restored.evec, opts)
+    assert bool(res.ok)
+    w = jnp.linalg.eigh(a)[0]
+    np.testing.assert_allclose(np.asarray(res.eig[:3]), np.asarray(w[:3]),
+                               atol=1e-9)
+    # resume must be cheaper than from scratch
+    scratch = davidson(mv, pc, jnp.zeros((6, 120)), opts,
+                       key=jax.random.PRNGKey(1))
+    assert int(res.n_iter) < int(scratch.n_iter)
