@@ -202,21 +202,26 @@ def bench_caslr_bsr():
     # stores — comfortably inside one 16 GiB chip next to solver state
     n, B, bpr = 65536, 512, 4
     n_want, n_eig = 10, 15
-    ops_lo, ops_hi, diag_aa, _ = bsr_casida_tdscf(
+    from diaglib_tpu.problems import casida_tdscf_ops
+
+    _, _, diag_aa, (apb, amb) = bsr_casida_tdscf(
         n, B, bpr, jax.random.PRNGKey(0))
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
                          max_dav=10)
     g = jnp.zeros((n_eig, 2 * n), jnp.float64)
 
-    run = jax.jit(lambda g, k: caslr_eff_ladder(
-        ops_lo, ops_hi, g, opts, lo_tol=2e-6, lo_iter=60, key=k))
+    # operators passed as jit ARGUMENTS — closing over them bakes the
+    # multi-GB slice stores into the program as constants (DESIGN.md §6)
+    run = jax.jit(lambda apb, amb, g, k: caslr_eff_ladder(
+        *casida_tdscf_ops(apb, amb), g, opts, lo_tol=2e-6, lo_iter=60,
+        key=k))
     t0 = time.time()
-    res = jax.block_until_ready(run(g, jax.random.PRNGKey(1)))
+    res = jax.block_until_ready(run(apb, amb, g, jax.random.PRNGKey(1)))
     log(f"caslr_eff ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
         f"ok={bool(res.ok)} iters={int(res.n_iter)} "
         f"matvecs={int(res.n_matvec)}")
     dt, res, ok = _steady(
-        run, lambda k: (g, k), jax.random.PRNGKey(1),
+        run, lambda k: (apb, amb, g, k), jax.random.PRNGKey(1),
         [jax.random.PRNGKey(2 + i) for i in range(3)])
     emit("caslr_eff_bsr_n65536_f64_wall", dt, "s", ok=ok,
          iters=int(res.n_iter), n_matvec=int(res.n_matvec))

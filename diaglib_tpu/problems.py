@@ -32,6 +32,7 @@ __all__ = [
     "dense_matvec",
     "diag_precnd",
     "bsr_casida_tdscf",
+    "casida_tdscf_ops",
     "lrprec_eff",
     "lrprec_std",
 ]
@@ -199,6 +200,21 @@ def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
                                    dtype=jnp.float32), na=na)
     amb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, k2,
                                    dtype=jnp.float32), na=na)
+    ops_lo, ops_hi = casida_tdscf_ops(apb, amb, interpret=interpret)
+    diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
+    return ops_lo, ops_hi, diag_aa, (apb, amb)
+
+
+def casida_tdscf_ops(apb, amb, interpret: bool = False):
+    """(ops_lo, ops_hi) LROps tiers over existing sliced (A+B)/(A-B) stores.
+
+    Jit-traceable: call INSIDE a jitted function whose arguments are the
+    two SlicedBSR pytrees — closing over multi-GB operators instead bakes
+    them into the program as constants (DESIGN.md §6)."""
+    from .ops.bsr_sliced import sliced_bsr_matvec
+    from .types import LROps
+
+    n = apb.n
     diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
     ident = lambda x: x  # noqa: E731 — sigma = I, delta = 0 (tdscf)
     ops_hi = LROps(
@@ -214,7 +230,7 @@ def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
         spdmul=ident, smdmul=ident,
         lrprec=lrprec_eff(diag_aa.astype(f32), jnp.ones((n,), f32)),
     )
-    return ops_lo, ops_hi, diag_aa, (apb, amb)
+    return ops_lo, ops_hi
 
 
 def lrprec_eff(aa_diag, sigma_diag):
