@@ -117,8 +117,30 @@ def _worker(process_id: int, num_processes: int, coordinator: str,
     assert bool(ok_b), "multihost BSR Davidson did not converge"
     assert err_bsr < 1e-6, f"multihost BSR eig err {err_bsr}"
 
+    # ---- production f64 matvec: Ozaki-sliced operator over processes ----
+    from jax.experimental import multihost_utils
+
+    from diaglib_tpu.ops import (
+        dist_sliced_matvec,
+        distribute_sliced_bsr,
+        slice_bsr,
+    )
+
+    dms = distribute_sliced_bsr(slice_bsr(m), D)
+    dms_g = tree_make_global(dms, mesh, lambda leaf: P("n"))
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (4, nb)))
+    x_g = make_global(x, mesh, P(None, "n"))
+    y = jax.jit(lambda dms, x: dist_sliced_matvec(
+        dms, sh, interpret=True)(x))(dms_g, x_g)
+    y_host = np.asarray(multihost_utils.process_allgather(y, tiled=True))
+    oracle = x @ np.asarray(bsr_to_dense(m)).T
+    err_sliced = float(np.max(np.abs(y_host - oracle))
+                       / np.max(np.abs(oracle)))
+    assert err_sliced < 1e-13, f"multihost sliced matvec err {err_sliced}"
+
     print(f"MH_DRYRUN_OK process {process_id}/{num_processes} "
-          f"devices={D} dense_err={err_dense:.2e} bsr_err={err_bsr:.2e}",
+          f"devices={D} dense_err={err_dense:.2e} bsr_err={err_bsr:.2e} "
+          f"sliced_err={err_sliced:.2e}",
           flush=True)
 
 
