@@ -193,3 +193,21 @@ def test_sliced_empty_block_row_returns_zeros():
     np.testing.assert_allclose(np.asarray(y), ref,
                                atol=1e-13 * max(1.0, np.max(np.abs(ref))))
     assert float(jnp.max(jnp.abs(y[:, B:2*B]))) == 0.0
+
+
+def test_blocked_x_delivery_matches_resident(monkeypatch):
+    """Configs whose x-slice array exceeds the VMEM budget switch to
+    per-column-block x delivery; both paths must agree exactly."""
+    import diaglib_tpu.ops.bsr_sliced as bs
+
+    n, blk = 256, 16
+    m = random_bsr_spd(n, blk, 3, jax.random.PRNGKey(4), dtype=jnp.float32)
+    sm = bs.slice_bsr(m)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, n), jnp.float64)
+    y_resident = bs.sliced_bsr_matvec(sm, interpret=True)(x)
+    monkeypatch.setattr(bs, "_VMEM_BUDGET", 1)  # force the blocked path
+    bs._sliced_spmm.clear_cache()
+    y_blocked = bs.sliced_bsr_matvec(sm, interpret=True)(x)
+    bs._sliced_spmm.clear_cache()
+    np.testing.assert_array_equal(np.asarray(y_resident),
+                                  np.asarray(y_blocked))
