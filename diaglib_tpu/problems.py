@@ -195,11 +195,15 @@ def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
     from .ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
     from .types import LROps
 
-    k1, k2 = jax.random.split(key)
-    apb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, k1,
-                                   dtype=jnp.float32), na=na)
-    amb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, k2,
-                                   dtype=jnp.float32), na=na)
+    # A+B and A-B share the diagonal (and its separated low modes) and
+    # differ in off-diagonal strength: with independent operators the low
+    # modes land on different rows and the product spectrum w^2 ~
+    # eig(A+B) eig(A-B) has no diagonal-resolvable low excitations — the
+    # paired diagonal preconditioner then stalls (observed at n=65536)
+    apb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, key,
+                                   dtype=jnp.float32, off_scale=0.3), na=na)
+    amb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, key,
+                                   dtype=jnp.float32, off_scale=0.15), na=na)
     ops_lo, ops_hi = casida_tdscf_ops(apb, amb, interpret=interpret)
     diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
     return ops_lo, ops_hi, diag_aa, (apb, amb)

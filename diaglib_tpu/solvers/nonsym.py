@@ -239,42 +239,31 @@ class _NonsymState(NamedTuple):
     max_h: jax.Array
 
 
-def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
-                 key, sharding=None, driver: str = "auto"):
-    """One one-sided Davidson pass.
-
-    ``op`` is A for the right pass and A^T for the left pass; ``use_left``
-    selects which set of reduced eigenvectors drives the Ritz vectors and
-    residuals (VL for the left pass, diaglib.f90:2712, 2717).
-
-    ``driver`` picks how the host dgeev is reached: "jit" keeps the whole
-    loop in one ``lax.while_loop`` with a ``pure_callback`` (callback-capable
-    runtimes); "host" orchestrates the loop from Python — the device steps
-    before/after the reduced solve stay jit-compiled, the (tiny, replicated)
-    reduced matrix round-trips to the host — for runtimes whose PJRT has no
-    host send/recv callbacks (e.g. the axon TPU plugin fails with
-    UNIMPLEMENTED).  "auto" probes callback support once per backend and
-    picks "jit" when available, "host" otherwise.
-    """
+@functools.lru_cache(maxsize=64)
+def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
+                   sharding, n: int, dtype_name: str):
+    """Compiled device programs for one one-sided pass, CACHED on the
+    (operator, preconditioner, options, side, sharding, n, dtype) key —
+    ``_nonsym_pass`` runs twice per consecutive solve and repeatedly in
+    benchmarks/ladders; rebuilding the jitted step functions per call
+    would recompile every time (callables are cached by identity: hold
+    your matvec closure stable across calls to benefit)."""
     from ..parallel.sharding import constrainers
 
+    dtype = jnp.dtype(dtype_name)
     vec, _ = constrainers(sharding)
     n_targ, n_max = options.n_targ, options.n_max
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
     max_iter = options.max_iter
-    n = guess.shape[1]
-    dtype = guess.dtype
     sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
     tol_rms = jnp.asarray(options.tol, dtype)
     tol_max = jnp.asarray(options.tol_max, dtype)
 
-    guess = check_guess(guess, key)
-
     # the host solve always runs dgeev in f64; results come back in the
     # solver's working precision so an f32 ladder stage stays f32 end to end
     host = functools.partial(_host_reduced_eig, n_max=n_max,
-                             out_dtype=np.dtype(dtype))
+                             out_dtype=np.dtype(dtype_name))
     out_spec = (
         jax.ShapeDtypeStruct((lda_pad,), dtype),
         jax.ShapeDtypeStruct((lda_pad, lda_pad), dtype),
@@ -395,30 +384,66 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         )
         return step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
 
-    z = vec(jnp.zeros((lda_pad, n), dtype))
-    init = _NonsymState(
-        it=jnp.asarray(0, jnp.int32),
-        space=vec(scatter_rows(z, guess, 0)),
-        aspace=z,
-        ldu=jnp.asarray(0, jnp.int32),
-        n_act=jnp.asarray(n_max, jnp.int32),
-        m_dim=jnp.asarray(1, jnp.int32),
-        fresh=jnp.asarray(True),
-        copy_r=jnp.zeros((lda_pad, 2 * n_max), dtype),
-        copy_l=jnp.zeros((lda_pad, 2 * n_max), dtype),
-        eig=jnp.zeros((n_max,), dtype),
-        evec=vec(jnp.zeros((n_max, n), dtype)),
-        done=jnp.zeros((n_max,), bool),
-        rms=jnp.full((n_max,), jnp.inf, dtype),
-        rmx=jnp.full((n_max,), jnp.inf, dtype),
-        found_im=jnp.asarray(False),
-        ok=jnp.asarray(False),
-        ortho_ok=jnp.asarray(True),
-        n_matvec=jnp.asarray(0, jnp.int32),
-        eig_h=jnp.zeros((max_iter, n_max), dtype),
-        rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
-        max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
-    )
+    def make_init(guess):
+        z = vec(jnp.zeros((lda_pad, n), dtype))
+        return _NonsymState(
+            it=jnp.asarray(0, jnp.int32),
+            space=vec(scatter_rows(z, guess, 0)),
+            aspace=z,
+            ldu=jnp.asarray(0, jnp.int32),
+            n_act=jnp.asarray(n_max, jnp.int32),
+            m_dim=jnp.asarray(1, jnp.int32),
+            fresh=jnp.asarray(True),
+            copy_r=jnp.zeros((lda_pad, 2 * n_max), dtype),
+            copy_l=jnp.zeros((lda_pad, 2 * n_max), dtype),
+            eig=jnp.zeros((n_max,), dtype),
+            evec=vec(jnp.zeros((n_max, n), dtype)),
+            done=jnp.zeros((n_max,), bool),
+            rms=jnp.full((n_max,), jnp.inf, dtype),
+            rmx=jnp.full((n_max,), jnp.inf, dtype),
+            found_im=jnp.asarray(False),
+            ok=jnp.asarray(False),
+            ortho_ok=jnp.asarray(True),
+            n_matvec=jnp.asarray(0, jnp.int32),
+            eig_h=jnp.zeros((max_iter, n_max), dtype),
+            rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+            max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
+        )
+
+    # donate the previous state + aspace: step_post consumes both, so the
+    # host loop updates buffers in place like the while_loop driver would
+    post_j = jax.jit(step_post, donate_argnums=(0, 1))
+
+    @jax.jit
+    def pre_and_cond(s):
+        return cond(s), step_pre(s)
+
+    return make_init, cond, body, pre_and_cond, post_j, host
+
+
+def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
+                 key, sharding=None, driver: str = "auto"):
+    """One one-sided Davidson pass.
+
+    ``op`` is A for the right pass and A^T for the left pass; ``use_left``
+    selects which set of reduced eigenvectors drives the Ritz vectors and
+    residuals (VL for the left pass, diaglib.f90:2712, 2717).
+
+    ``driver`` picks how the host dgeev is reached: "jit" keeps the whole
+    loop in one ``lax.while_loop`` with a ``pure_callback`` (callback-capable
+    runtimes); "host" orchestrates the loop from Python — the device steps
+    before/after the reduced solve stay jit-compiled, the (tiny, replicated)
+    reduced matrix round-trips to the host — for runtimes whose PJRT has no
+    host send/recv callbacks (e.g. the axon TPU plugin fails with
+    UNIMPLEMENTED).  "auto" probes callback support once per backend and
+    picks "jit" when available, "host" otherwise.
+    """
+    guess = check_guess(jnp.asarray(guess), key)
+    make_init, cond, body, pre_and_cond, post_j, host = _pass_programs(
+        op, precnd, options, use_left, sharding, guess.shape[1],
+        jnp.dtype(guess.dtype).name)
+    init = make_init(guess)
+
     if driver == "auto":
         driver = "jit" if _callbacks_supported() else "host"
     if driver == "jit":
@@ -428,19 +453,22 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
 
     # host-orchestrated loop: device steps jit-compiled, reduced dgeev on
     # the host between them (no PJRT callback support needed)
-    pre_j = jax.jit(step_pre)
-    # donate the previous state + aspace: step_post consumes both, so the
-    # host loop updates buffers in place like the while_loop driver would
-    post_j = jax.jit(step_post, donate_argnums=(0, 1))
     s = init
-    while bool(cond(s)):
-        aspace, g, ldu_new, n_sort, do_homing = pre_j(s)
-        wr, vr, vl, fim = host(
-            np.asarray(g), int(ldu_new), int(n_sort), bool(do_homing),
-            np.asarray(s.copy_r), np.asarray(s.copy_l))
+    while True:
+        # ONE batched transfer per iteration: on tunneled runtimes every
+        # fetch is a full pipeline round trip (~seconds on the axon
+        # tunnel), so the continue flag and all six host inputs travel
+        # together; when the flag says stop, the speculative step_pre
+        # work is simply discarded
+        cont, (aspace, g, ldu_new, n_sort, do_homing) = pre_and_cond(s)
+        cont_h, g_h, ldu_h, ns_h, dh_h, cr_h, cl_h = jax.device_get(
+            (cont, g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l))
+        if not bool(cont_h):
+            return s
+        wr, vr, vl, fim = host(g_h, int(ldu_h), int(ns_h), bool(dh_h),
+                               cr_h, cl_h)
         s = post_j(s, aspace, ldu_new, jnp.asarray(wr), jnp.asarray(vr),
                    jnp.asarray(vl), jnp.asarray(bool(fim)))
-    return s
 
 
 def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
