@@ -291,10 +291,12 @@ def bench_toy():
                        max_dav=20)
 
     # nonsym's host-dgeev loop is Python-orchestrated on this runtime:
-    # time it directly (no outer jit)
+    # time it directly (no outer jit); closures held STABLE across calls
+    # so the cached jitted step programs hit (solvers/nonsym.py)
+    mv_n, mvt_n, pc_n = dense_matvec(an), dense_matvec(an.T), diag_precnd(dn)
+
     def run_n(g, k):
-        return nonsym(dense_matvec(an), dense_matvec(an.T), diag_precnd(dn),
-                      g, on, side="c", key=k)
+        return nonsym(mv_n, mvt_n, pc_n, g, on, side="c", key=k)
 
     dt, res, ok = _steady(run_n, lambda k: (gn, k), jax.random.PRNGKey(1),
                           keys[:3])

@@ -410,15 +410,21 @@ def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
             max_h=jnp.full((max_iter, n_max), jnp.inf, dtype),
         )
 
-    # donate the previous state + aspace: step_post consumes both, so the
-    # host loop updates buffers in place like the while_loop driver would
-    post_j = jax.jit(step_post, donate_argnums=(0, 1))
-
     @jax.jit
     def pre_and_cond(s):
         return cond(s), step_pre(s)
 
-    return make_init, cond, body, pre_and_cond, post_j, host
+    # one fused device program per host-loop iteration: apply the reduced
+    # solve results (step_post) AND produce the next iteration's reduced
+    # problem (step_pre) + continue flag.  On tunneled runtimes every
+    # dispatch is its own round trip, so fusing post+pre halves the
+    # per-iteration RPC count; the state + aspace are donated (consumed).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def post_then_pre(s, aspace, ldu_new, wr, vr, vl, found_im):
+        s2 = step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
+        return s2, cond(s2), step_pre(s2)
+
+    return make_init, cond, body, pre_and_cond, post_then_pre, host
 
 
 def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
@@ -439,7 +445,7 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
     picks "jit" when available, "host" otherwise.
     """
     guess = check_guess(jnp.asarray(guess), key)
-    make_init, cond, body, pre_and_cond, post_j, host = _pass_programs(
+    make_init, cond, body, pre_and_cond, post_then_pre, host = _pass_programs(
         op, precnd, options, use_left, sharding, guess.shape[1],
         jnp.dtype(guess.dtype).name)
     init = make_init(guess)
@@ -452,23 +458,23 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
         raise ValueError("driver must be 'auto', 'jit' or 'host'")
 
     # host-orchestrated loop: device steps jit-compiled, reduced dgeev on
-    # the host between them (no PJRT callback support needed)
+    # the host between them (no PJRT callback support needed).  Two RPC
+    # round trips per iteration — one fused dispatch (post+pre), one
+    # batched fetch of the continue flag + all six host inputs — because
+    # on tunneled runtimes each dispatch/fetch costs a full round trip
+    # (~1 s on the axon tunnel; host dgeev itself is ~ms).
     s = init
+    cont, (aspace, g, ldu_new, n_sort, do_homing) = pre_and_cond(s)
     while True:
-        # ONE batched transfer per iteration: on tunneled runtimes every
-        # fetch is a full pipeline round trip (~seconds on the axon
-        # tunnel), so the continue flag and all six host inputs travel
-        # together; when the flag says stop, the speculative step_pre
-        # work is simply discarded
-        cont, (aspace, g, ldu_new, n_sort, do_homing) = pre_and_cond(s)
         cont_h, g_h, ldu_h, ns_h, dh_h, cr_h, cl_h = jax.device_get(
             (cont, g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l))
         if not bool(cont_h):
             return s
         wr, vr, vl, fim = host(g_h, int(ldu_h), int(ns_h), bool(dh_h),
                                cr_h, cl_h)
-        s = post_j(s, aspace, ldu_new, jnp.asarray(wr), jnp.asarray(vr),
-                   jnp.asarray(vl), jnp.asarray(bool(fim)))
+        s, cont, (aspace, g, ldu_new, n_sort, do_homing) = post_then_pre(
+            s, aspace, ldu_new, jnp.asarray(wr), jnp.asarray(vr),
+            jnp.asarray(vl), jnp.asarray(bool(fim)))
 
 
 def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
