@@ -137,3 +137,36 @@ def test_davidson_f64_on_distributed_sliced(mesh, sliced):
     w = np.linalg.eigh(np.asarray(dense, np.float64))[0]
     np.testing.assert_allclose(np.asarray(res.eig[:4]), w[:4], rtol=0,
                                atol=1e-7 * max(1.0, abs(w[0])))
+
+
+def test_sharded_davidson_ladder_on_dist_sliced():
+    """The mixed-precision ladder over the DISTRIBUTED sliced operator:
+    both tiers sharded over the mesh, f32 warm start -> f64 refinement
+    (the production multi-chip solve path end to end)."""
+    from diaglib_tpu.solvers import davidson_ladder
+
+    n_dev = 8
+    mesh = make_mesh(jax.devices()[:n_dev])
+    sh = VectorSharding(mesh)
+    B = 8
+    n = 4 * B * n_dev
+    m = random_bsr_spd(n, B, 2, jax.random.PRNGKey(7), dtype=jnp.float64,
+                       n_low_modes=8)
+    dms = distribute_sliced_bsr(slice_bsr(m), n_dev)
+    diag = dms.diagonal
+    opts = SolverOptions(n_targ=2, n_max=4, max_iter=80, tol=1e-9)
+
+    @jax.jit
+    def run(dms, g):
+        return davidson_ladder(
+            dist_sliced_matvec(dms, sh, dtype=jnp.float32, interpret=True),
+            diag_precnd(diag.astype(jnp.float32)),
+            dist_sliced_matvec(dms, sh, interpret=True),
+            diag_precnd(diag),
+            g, opts, lo_tol=1e-4, key=jax.random.PRNGKey(1))
+
+    res = run(dms, jnp.zeros((4, n), jnp.float64))
+    assert bool(res.ok)
+    w = jnp.linalg.eigh(bsr_to_dense(m))[0]
+    np.testing.assert_allclose(np.asarray(res.eig[:2]), np.asarray(w[:2]),
+                               rtol=0, atol=1e-7)
