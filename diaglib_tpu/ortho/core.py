@@ -279,14 +279,29 @@ def ortho_vs_x(x, u, xmask=None, umask=None, max_iter: int = _MAXIT):
 def b_ortho(u, bu, mask=None):
     """B-orthonormalize u given bu = B u (diaglib.f90:3094-3183).
 
-    metric = u bu^T is Cholesky-factored; L^{-1} is applied to both u and bu.
+    metric = u bu^T is Cholesky-factored; L^{-1} is applied to both u and
+    bu.  When the Cholesky fails (numerically rank-deficient block — e.g.
+    near-resonant preconditioned directions), the reference's disabled
+    ``use_svd`` branch (diaglib.f90:3116-3168) takes over as the rescue
+    path: metric^{-1/2} with singular directions below tol dropped.  The
+    reference would hard-stop here; the SVD branch keeps the basis usable
+    and the solvers' ``ortho_ok`` flag still reports the event via the
+    downstream ``b_ortho_vs_x`` convergence test.
     """
     k = u.shape[0]
     mask = _rowmask(mask, k)
     metric = mmT(u, bu)
-    L, _ = masked_cholesky(metric, mask)
-    u_new = solve_triangular(L, u, lower=True)
-    bu_new = solve_triangular(L, bu, lower=True)
+    L, failed = masked_cholesky(metric, mask)
+
+    def chol_path(_):
+        u_new = solve_triangular(L, u, lower=True)
+        bu_new = solve_triangular(L, bu, lower=True)
+        return u_new, bu_new
+
+    def svd_path(_):
+        return b_ortho_svd(u, bu, mask)
+
+    u_new, bu_new = jax.lax.cond(failed, svd_path, chol_path, None)
     u_new = jnp.where(mask[:, None], u_new, 0.0)
     bu_new = jnp.where(mask[:, None], bu_new, 0.0)
     return u_new, bu_new

@@ -169,11 +169,23 @@ def lrprec_std(aa_diag, sigma_diag):
 
     def pc(fac, xp, xm):
         denom = a * a - fac * fac * sg * sg
+        denom = _guard_denom(denom, a * a + fac * fac * sg * sg)
         yp = -(a * xp + fac * sg * xm) / denom
         ym = -(a * xm + fac * sg * xp) / denom
         return yp, ym
 
     return pc
+
+
+def _guard_denom(denom, scale, rel: float = 1.0e-5):
+    """Clamp a preconditioner denominator away from zero (relative to the
+    row's magnitude scale) — the mprec guard (main.f90:159-168) extended to
+    the paired LR preconditioners: rows resonant with the current root
+    (denom -> 0) otherwise produce arbitrarily huge, nearly parallel
+    expansion vectors that break the B-metric Cholesky downstream."""
+    floor = rel * jnp.maximum(scale, 1.0)
+    return jnp.where(jnp.abs(denom) < floor,
+                     jnp.where(denom < 0.0, -floor, floor), denom)
 
 
 def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
@@ -248,6 +260,7 @@ def lrprec_eff(aa_diag, sigma_diag):
 
     def pc(fac, xp, xm):
         denom = fac * fac * a * a - sg * sg
+        denom = _guard_denom(denom, fac * fac * a * a + sg * sg)
         yp = (fac * a * xp + sg * xm) / denom
         ym = (fac * a * xm + sg * xp) / denom
         return yp, ym

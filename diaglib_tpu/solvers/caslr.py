@@ -185,6 +185,18 @@ def _bucketed_reduced(solve_fn, epmat, emmat, smat, mask, ldu, n_max,
     return bucketed_switch(make, ldu, lda_pad, 2 * n_max)
 
 
+def _gram_update(gmat, left, right, ldu, n_act, n_max):
+    """Update gmat = left @ right^T after n_act new rows were appended to
+    both ``left`` and ``right`` at row ``ldu``: only the new rows and new
+    columns change (O(n_act * n * L) instead of O(L^2 * n))."""
+    from ..utils.masking import gather_rows, scatter_rows
+
+    lblk = gather_rows(left, ldu, n_max, count=n_act)
+    rblk = gather_rows(right, ldu, n_max, count=n_act)
+    g = scatter_rows(gmat, mmT(lblk, right), ldu)
+    return scatter_rows(g.T, mmT(rblk, left), ldu).T
+
+
 class _CaslrState(NamedTuple):
     it: jax.Array
     vp: jax.Array
@@ -193,6 +205,13 @@ class _CaslrState(NamedTuple):
     lvm: jax.Array
     bvp: jax.Array
     bvm: jax.Array
+    # carried reduced Gram matrices, updated incrementally (only the new
+    # rows/cols each iteration — the reference's own incremental a_red
+    # idea, diaglib.f90:1691, applied to the LR drivers); epmat/emmat are
+    # unused (zeros) in caslr_eff
+    epmat: jax.Array
+    emmat: jax.Array
+    smat: jax.Array
     ldu: jax.Array
     n_act: jax.Array
     m_dim: jax.Array
@@ -277,9 +296,9 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         n_matvec = s.n_matvec + 4 * s.n_act
 
         col_ok = prefix_mask(lda_pad, ldu_new)
-        epmat = mmT(s.vp, lvp)
-        emmat = mmT(s.vm, lvm)
-        smat = mmT(s.vm, bvm)
+        epmat = _gram_update(s.epmat, s.vp, lvp, s.ldu, s.n_act, n_max)
+        emmat = _gram_update(s.emmat, s.vm, lvm, s.ldu, s.n_act, n_max)
+        smat = _gram_update(s.smat, s.vm, bvm, s.ldu, s.n_act, n_max)
 
         if algorithm == 0:
             solve = lambda ep, em, sz, m: _reduced_inverse_pencil(  # noqa: E731
@@ -357,7 +376,8 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
 
         return _CaslrState(
             it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
-            bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2, eig=eig,
+            bvm=bvm2, epmat=epmat, emmat=emmat, smat=smat,
+            ldu=ldu2, n_act=n_act2, m_dim=m_dim2, eig=eig,
             evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
             ortho_ok=ortho_ok2, n_matvec=n_matvec,
             eig_h=eig_h, rms_h=rms_h, max_h=max_h,
@@ -368,6 +388,9 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         it=jnp.asarray(0, jnp.int32),
         vp=vec(scatter_rows(z0, vp0, 0)), vm=vec(scatter_rows(z0, vm0, 0)),
         lvp=z0, lvm=z0, bvp=z0, bvm=z0,
+        epmat=jnp.zeros((lda_pad, lda_pad), dtype),
+        emmat=jnp.zeros((lda_pad, lda_pad), dtype),
+        smat=jnp.zeros((lda_pad, lda_pad), dtype),
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
         m_dim=jnp.asarray(1, jnp.int32),
@@ -441,7 +464,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         n_matvec = s.n_matvec + 2 * s.n_act
 
         col_ok = prefix_mask(lda_pad, ldu_new)
-        smat = _pad_zero(mmT(s.vm, bvm), col_ok)
+        smat = _pad_zero(
+            _gram_update(s.smat, s.vm, bvm, s.ldu, s.n_act, n_max), col_ok)
 
         # reduced solve on the smallest prefix bucket covering ldu_new
         # (genuine block is the leading corner; L^3 instead of lda_pad^3)
@@ -545,7 +569,8 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
 
         return _CaslrState(
             it=s.it + 1, vp=vp2, vm=vm2, lvp=lvp2, lvm=lvm2, bvp=bvp2,
-            bvm=bvm2, ldu=ldu2, n_act=n_act2, m_dim=m_dim2,
+            bvm=bvm2, epmat=s.epmat, emmat=s.emmat, smat=smat,
+            ldu=ldu2, n_act=n_act2, m_dim=m_dim2,
             eig=1.0 / inv_w,  # report w (the reference inverts on exit)
             evec=evec, done=done, rms=rms, rmx=rmx, ok=ok,
             ortho_ok=ortho_ok2, n_matvec=n_matvec,
@@ -558,6 +583,9 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         vp=vec(scatter_rows(z0, vp0, 0)), vm=vec(scatter_rows(z0, vm0, 0)),
         lvp=vec(scatter_rows(z0, lvp0, 0)), lvm=vec(scatter_rows(z0, lvm0, 0)),
         bvp=z0, bvm=z0,
+        epmat=jnp.zeros((lda_pad, lda_pad), dtype),
+        emmat=jnp.zeros((lda_pad, lda_pad), dtype),
+        smat=jnp.zeros((lda_pad, lda_pad), dtype),
         ldu=jnp.asarray(0, jnp.int32),
         n_act=jnp.asarray(n_max, jnp.int32),
         m_dim=jnp.asarray(1, jnp.int32),
