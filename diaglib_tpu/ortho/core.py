@@ -290,6 +290,16 @@ def b_ortho(u, bu, mask=None):
     """
     k = u.shape[0]
     mask = _rowmask(mask, k)
+    # row pre-normalization: exact (diagonal scaling never changes the
+    # span) and it keeps the metric O(1) even when the rows arrive with
+    # wildly different norms (e.g. resonance-amplified preconditioned
+    # residuals), which is the difference between a clean Cholesky and a
+    # breakdown at large n
+    norms = jnp.linalg.norm(u, axis=1)
+    inv = jnp.where(norms > 0.0, 1.0 / jnp.where(norms > 0.0, norms, 1.0),
+                    1.0)
+    u = u * inv[:, None]
+    bu = bu * inv[:, None]
     metric = mmT(u, bu)
     L, failed = masked_cholesky(metric, mask)
 
@@ -309,12 +319,18 @@ def b_ortho(u, bu, mask=None):
 
 def b_ortho_svd(u, bu, mask=None, tol_svd: float = 1.0e-5):
     """The reference's disabled SVD branch of b_ortho (diaglib.f90:3127-3168):
-    apply metric^{-1/2}, dropping singular directions below ``tol_svd``."""
+    apply metric^{-1/2}, dropping singular directions below ``tol_svd``
+    RELATIVE to the largest singular value (the reference's absolute 1e-5
+    encodes the same intent for its O(1)-normalized metrics; an absolute
+    cut on a metric with 1e12-scale singular values would keep pure-noise
+    directions and amplify them by 1/sqrt(s))."""
     k = u.shape[0]
     mask = _rowmask(mask, k)
     metric = mmT(u, bu)
     uu, s, vt = masked_svd(metric, mask)
-    s_inv = jnp.where(s > tol_svd, 1.0 / jnp.sqrt(s), 0.0)
+    s_floor = tol_svd * jnp.max(jnp.where(mask, s, 0.0))
+    s_inv = jnp.where(s > s_floor, 1.0 / jnp.sqrt(jnp.maximum(s, s_floor)),
+                      0.0)
     m_inv_half = uu @ (s_inv[:, None] * vt)
     u_new = mTm(m_inv_half, u)
     bu_new = mTm(m_inv_half, bu)
