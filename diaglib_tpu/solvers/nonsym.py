@@ -215,6 +215,193 @@ def _host_reduced_eig(a_red, ldu, n_sort, do_homing, copy_r, copy_l, n_max,
     )
 
 
+def _compact_valid(wr, wi, vr, vl, valid):
+    """Stable permutation moving valid entries to the leading positions
+    (pads to the tail), so the device pipeline sees the host layout: the
+    genuine block in the leading ldu slots.  O(L^2) comparison counts
+    instead of cumsum (see utils/jacobi.py rank_argsort on why)."""
+    L = valid.shape[0]
+    idx = jnp.arange(L)
+    before = idx[None, :] < idx[:, None]
+    n_valid = jnp.sum(valid)
+    pos_v = jnp.sum(valid[None, :] & before, axis=1)
+    pos_i = n_valid + jnp.sum((~valid)[None, :] & before, axis=1)
+    pos = jnp.where(valid, pos_v, pos_i)
+    perm = jnp.zeros((L,), jnp.int32).at[pos].set(idx.astype(jnp.int32))
+    return wr[perm], wi[perm], vr[:, perm], vl[:, perm]
+
+
+def _swap1(x, i, j):
+    xi, xj = x[i], x[j]
+    return x.at[i].set(xj).at[j].set(xi)
+
+
+def _device_sort_park(wr, wi, ldu, n_sort, n_max):
+    """Selection sort with complex parking on device — the exact
+    semantics of the host loop in ``_host_reduced_eig`` (which mirrors
+    the reference's ``sort_eigenpairs``, diaglib.f90:2945-3017): for each
+    of the leading ``n_sort`` slots pick the smallest remaining real
+    part; a complex candidate (|wi| > tol_im) is first swapped to the
+    last unconsumed slot, then the pick repeats once.  Returns the
+    permutation to apply to the eigenvector columns."""
+    L = wr.shape[0]
+    idx = jnp.arange(L)
+    inf = jnp.asarray(jnp.inf, wr.dtype)
+
+    def step(i, carry):
+        wr_c, wi_c, perm, mask = carry
+
+        def do(args):
+            wr_c, wi_c, perm, mask = args
+            cand = jnp.where(mask, wr_c, inf)
+            pick1 = jnp.argmin(cand).astype(jnp.int32)
+            is_c = jnp.abs(wi_c[pick1]) > _TOL_IM
+            fin = (L - 1 - jnp.argmax(mask[::-1])).astype(jnp.int32)
+
+            def park(args):
+                wr_c, wi_c, perm, mask = args
+                mask = mask.at[fin].set(False)
+                wr_c = _swap1(wr_c, fin, pick1)
+                wi_c = _swap1(wi_c, fin, pick1)
+                perm = _swap1(perm, fin, pick1)
+                cand2 = jnp.where(mask, wr_c, inf)
+                return (wr_c, wi_c, perm, mask,
+                        jnp.argmin(cand2).astype(jnp.int32))
+
+            def nopark(args):
+                wr_c, wi_c, perm, mask = args
+                return wr_c, wi_c, perm, mask, pick1
+
+            wr_c, wi_c, perm, mask, pick = jax.lax.cond(
+                is_c, park, nopark, (wr_c, wi_c, perm, mask))
+            mask = mask.at[i].set(False)
+            wr_c = _swap1(wr_c, i, pick)
+            wi_c = _swap1(wi_c, i, pick)
+            perm = _swap1(perm, i, pick)
+            return wr_c, wi_c, perm, mask
+
+        return jax.lax.cond(i < n_sort, do, lambda c: c,
+                            (wr_c, wi_c, perm, mask))
+
+    wr_s, wi_s, perm, _ = jax.lax.fori_loop(
+        0, 2 * n_max, step,
+        (wr, wi, idx.astype(jnp.int32), idx < ldu))
+    return wr_s, wi_s, perm
+
+
+def _device_homing(wr, wi, vr, vl, copy_r, copy_l, ldu, n_max):
+    """Max-overlap root homing on device — the vectorized twin of the
+    host logic (reference semantics diaglib.f90:2539-2696): first/second
+    best overlaps per root, collision resolution via second-best values,
+    identity fallback when collisions persist, and cross-side
+    arbitration by total overlap."""
+    L = wr.shape[0]
+    m2 = 2 * n_max
+    ar = jnp.arange(n_max, dtype=jnp.int32)
+    colmask = jnp.arange(m2) < jnp.minimum(m2, ldu)
+    rowmask = (jnp.arange(L) < ldu)[:, None]
+    vrp = jnp.where(colmask[None, :], vr[:, :m2], 0.0)
+    vlp = jnp.where(colmask[None, :], vl[:, :m2], 0.0)
+    ov_r = mTm(jnp.where(rowmask, copy_r, 0.0), vrp)
+    ov_l = mTm(jnp.where(rowmask, copy_l, 0.0), vlp)
+
+    def pick(ov):
+        colabs = jnp.abs(ov[:, :n_max])
+        k1 = jnp.argmax(colabs, axis=0).astype(jnp.int32)
+        v1 = ov[k1, ar]
+        colabs2 = colabs.at[k1, ar].set(-jnp.inf)
+        k2 = jnp.argmax(colabs2, axis=0).astype(jnp.int32)
+        v2 = ov[k2, ar]
+        return k1, v1, k2, v2, jnp.any(k1 != ar)
+
+    idx_r, val_r, idx2_r, val2_r, mv_r = pick(ov_r)
+    idx_l, val_l, _, _, mv_l = pick(ov_l)
+    found_er = mv_r | mv_l
+
+    not_eye = ~jnp.eye(n_max, dtype=bool)
+
+    def has_double(idx):
+        return jnp.any((idx[:, None] == idx[None, :]) & not_eye)
+
+    double_r, double_l = has_double(idx_r), has_double(idx_l)
+
+    def fix(t, idx):
+        j, k = t // n_max, t % n_max
+        collide = (k != j) & (idx[j] == idx[k])
+        prefer_j = val2_r[j] > val2_r[k]
+        newj = jnp.where(collide & prefer_j, idx2_r[j], idx[j])
+        newk = jnp.where(collide & ~prefer_j, idx2_r[k], idx[k])
+        return idx.at[j].set(newj).at[k].set(newk)
+
+    idx_res = jax.lax.fori_loop(0, n_max * n_max, fix, idx_r)
+    still = has_double(idx_res)
+    both = jnp.where(still, ar, idx_res)
+    idx_r_f = jnp.where(double_r & ~double_l, idx_l,
+                        jnp.where(double_l & ~double_r, idx_r,
+                                  jnp.where(double_r & double_l, both,
+                                            idx_r)))
+    idx_l_f = jnp.where(double_r & ~double_l, idx_l,
+                        jnp.where(double_l & ~double_r, idx_r,
+                                  jnp.where(double_r & double_l, both,
+                                            idx_l)))
+    any_diff = jnp.any(idx_r_f != idx_l_f)
+    use_r = jnp.sum(val_r) > jnp.sum(val_l)
+    final_idx = jnp.where(any_diff & ~use_r, idx_l_f, idx_r_f)
+
+    permn = jnp.where(final_idx < ldu, final_idx, ar)
+    perm = jnp.where(jnp.arange(L) < n_max,
+                     jnp.pad(permn, (0, L - n_max)),
+                     jnp.arange(L, dtype=jnp.int32))
+    perm = jnp.where(found_er, perm, jnp.arange(L, dtype=jnp.int32))
+    return wr[perm], wi[perm], vr[:, perm], vl[:, perm]
+
+
+def _device_reduced_eig(g, ldu, n_sort, do_homing, copy_r, copy_l, n_max,
+                        lda_pad):
+    """Fully on-device twin of ``_host_reduced_eig``: Eberlein
+    norm-reducing Jacobi eigensolver (utils/eberlein.py) + parking sort +
+    root homing, dispatched on the smallest prefix bucket covering
+    ``ldu``.  Removes the host round trips entirely — the whole nonsym
+    pass stays one ``lax.while_loop`` even on runtimes without host
+    callbacks (the axon TPU plugin)."""
+    from ..utils.eberlein import eberlein_eig
+    from ..utils.masking import bucketed_switch
+
+    n_sort = jnp.minimum(n_sort, ldu)
+
+    def make(L):
+        def run(_):
+            wr, wi, vr, vl = eberlein_eig(g[:L, :L])
+            # pads (zero rows/cols of g beyond ldu) are exactly decoupled:
+            # identify their eigenpairs by support on the pad rows, then
+            # compact genuine entries to the leading ldu slots (host layout)
+            pad_rows = (jnp.arange(L) >= ldu)[:, None]
+            valid = jnp.sum(jnp.where(pad_rows, vr * vr, 0.0), axis=0) < 0.5
+            wr, wi, vr, vl = _compact_valid(wr, wi, vr, vl, valid)
+            wr, wi, perm = _device_sort_park(wr, wi, ldu, n_sort, n_max)
+            vr = vr[:, perm]
+            vl = vl[:, perm]
+            found_im = jnp.any(
+                jnp.abs(jnp.where(jnp.arange(L) < n_max, wi, 0.0)) > _TOL_IM)
+            wr2, _, vr2, vl2 = _device_homing(
+                wr, wi, vr, vl, copy_r[:L], copy_l[:L], ldu, n_max)
+            use_h = do_homing
+            wr = jnp.where(use_h, wr2, wr)
+            vr = jnp.where(use_h, vr2, vr)
+            vl = jnp.where(use_h, vl2, vl)
+            rowv = (jnp.arange(L) < ldu)[:, None]
+            colv = (jnp.arange(L) < ldu)[None, :]
+            wr = jnp.where(jnp.arange(L) < ldu, wr, 0.0)
+            vr = jnp.where(rowv & colv, vr, 0.0)
+            vl = jnp.where(rowv & colv, vl, 0.0)
+            padn = ((0, lda_pad - L), (0, lda_pad - L))
+            return (jnp.pad(wr, (0, lda_pad - L)), jnp.pad(vr, padn),
+                    jnp.pad(vl, padn), found_im)
+        return run
+
+    return bucketed_switch(make, ldu, lda_pad, 2 * n_max)
+
+
 class _NonsymState(NamedTuple):
     it: jax.Array
     space: jax.Array     # (lda_pad, n) expansion rows
@@ -384,6 +571,13 @@ def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
         )
         return step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
 
+    def body_device(s: _NonsymState):
+        aspace, g, ldu_new, n_sort, do_homing = step_pre(s)
+        wr, vr, vl, found_im = _device_reduced_eig(
+            g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l, n_max,
+            lda_pad)
+        return step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
+
     def make_init(guess):
         z = vec(jnp.zeros((lda_pad, n), dtype))
         return _NonsymState(
@@ -424,7 +618,8 @@ def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
         s2 = step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
         return s2, cond(s2), step_pre(s2)
 
-    return make_init, cond, body, pre_and_cond, post_then_pre, host
+    return (make_init, cond, body, body_device, pre_and_cond,
+            post_then_pre, host)
 
 
 def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
@@ -435,27 +630,36 @@ def _nonsym_pass(op, precnd, guess, options: SolverOptions, use_left: bool,
     selects which set of reduced eigenvectors drives the Ritz vectors and
     residuals (VL for the left pass, diaglib.f90:2712, 2717).
 
-    ``driver`` picks how the host dgeev is reached: "jit" keeps the whole
-    loop in one ``lax.while_loop`` with a ``pure_callback`` (callback-capable
-    runtimes); "host" orchestrates the loop from Python — the device steps
-    before/after the reduced solve stay jit-compiled, the (tiny, replicated)
-    reduced matrix round-trips to the host — for runtimes whose PJRT has no
-    host send/recv callbacks (e.g. the axon TPU plugin fails with
-    UNIMPLEMENTED).  "auto" probes callback support once per backend and
-    picks "jit" when available, "host" otherwise.
+    ``driver`` picks how the reduced nonsymmetric eigensolve runs:
+    "jit" keeps the whole loop in one ``lax.while_loop`` with the host
+    dgeev reached through a ``pure_callback`` (callback-capable runtimes);
+    "device" keeps the whole loop in one ``lax.while_loop`` with the
+    reduced solve fully ON DEVICE (Eberlein norm-reducing Jacobi,
+    utils/eberlein.py) — no host involvement at all; "host" orchestrates
+    the loop from Python — the device steps before/after the reduced
+    solve stay jit-compiled, the (tiny, replicated) reduced matrix
+    round-trips to the host — kept as the cross-check and for spectra
+    outside the device solver's contract.  "auto" probes callback support
+    once per backend and picks "jit" when available, "device" otherwise
+    (runtimes without host callbacks, e.g. the axon TPU plugin, would pay
+    two tunnel round trips per iteration in "host" mode).
     """
     guess = check_guess(jnp.asarray(guess), key)
-    make_init, cond, body, pre_and_cond, post_then_pre, host = _pass_programs(
+    (make_init, cond, body, body_device, pre_and_cond, post_then_pre,
+     host) = _pass_programs(
         op, precnd, options, use_left, sharding, guess.shape[1],
         jnp.dtype(guess.dtype).name)
     init = make_init(guess)
 
     if driver == "auto":
-        driver = "jit" if _callbacks_supported() else "host"
+        driver = "jit" if _callbacks_supported() else "device"
     if driver == "jit":
         return jax.lax.while_loop(cond, body, init)
+    if driver == "device":
+        return jax.lax.while_loop(cond, body_device, init)
     if driver != "host":
-        raise ValueError("driver must be 'auto', 'jit' or 'host'")
+        raise ValueError(
+            "driver must be 'auto', 'jit', 'device' or 'host'")
 
     # host-orchestrated loop: device steps jit-compiled, reduced dgeev on
     # the host between them (no PJRT callback support needed).  Two RPC
@@ -490,11 +694,14 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
         seeded from the converged right eigenvectors, diaglib.f90:2892-2901).
       side: 'r' right only, 'l' left only, 's'/'c' both consecutively (the
         reference demotes 's' to consecutive, diaglib.f90:2398-2406).
-      driver: "jit" (single lax.while_loop, needs a callback-capable PJRT),
-        "host" (Python-orchestrated loop, works on runtimes without host
-        callbacks, e.g. the axon TPU plugin), or "auto" (probes callback
-        support once per backend).  With "host" the call itself must not
-        be wrapped in jax.jit.
+      driver: "jit" (single lax.while_loop, host dgeev via callback —
+        needs a callback-capable PJRT), "device" (single lax.while_loop,
+        reduced solve fully on device via the Eberlein norm-reducing
+        Jacobi in utils/eberlein.py — works everywhere, jittable), "host"
+        (Python-orchestrated loop for callback-less runtimes; the call
+        itself must not be wrapped in jax.jit), or "auto" (probes
+        callback support once per backend: "jit" when available, else
+        "device").
 
     Returns NonsymResult.  For 'c'/'s', ``ok`` additionally requires the
     left-pass eigenvalues to match the right-pass ones within tol
