@@ -149,6 +149,30 @@ def test_host_driver_matches_jit_driver():
                                np.asarray(res_j.eig[:4]), rtol=0, atol=1e-10)
 
 
+def test_device_driver_matches_jit_driver():
+    """driver='device' (reduced solve fully on device via the Eberlein
+    norm-reducing Jacobi, utils/eberlein.py — the path for callback-less
+    PJRT runtimes like the axon TPU plugin) must reproduce the host-dgeev
+    jit driver on the reference protocol (variant 4, side='c')."""
+    a = nonsym_matrix(200, variant=4, key=jax.random.PRNGKey(1))
+    diag = jnp.diagonal(a)
+    opts = SolverOptions(n_targ=4, n_max=4, max_iter=200, tol=1e-8,
+                         max_dav=10)
+    guess = jnp.zeros((4, 200), jnp.float64)
+    kw = dict(side="c", key=jax.random.PRNGKey(3))
+    res_j = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(diag),
+                   guess, opts, driver="jit", **kw)
+    res_d = nonsym(dense_matvec(a), dense_matvec(a.T), diag_precnd(diag),
+                   guess, opts, driver="device", **kw)
+    assert bool(res_j.ok) and bool(res_d.ok)
+    # different reduced eigensolvers (LAPACK dgeev vs Eberlein sweeps) →
+    # different iteration paths; the contract is the converged eigenpairs
+    np.testing.assert_allclose(np.asarray(res_d.eig[:4]),
+                               np.asarray(res_j.eig[:4]), rtol=0, atol=1e-9)
+    g = res_d.evec_l @ res_d.evec_r.T
+    np.testing.assert_allclose(np.asarray(g), np.eye(4), atol=1e-8)
+
+
 def test_complex_pairs_parked():
     """A genuinely complex spectrum above the target window: the reduced
     dgeev produces complex pairs that sort_eigenpairs parks at the tail
