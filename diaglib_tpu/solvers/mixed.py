@@ -186,18 +186,21 @@ def caslr_eff_ladder(ops_lo: LROps, ops_hi: LROps, evec_guess,
 def nonsym_ladder(matvec_lo, matvec_l_lo, precnd_lo,
                   matvec_hi, matvec_l_hi, precnd_hi,
                   evec_guess, options: SolverOptions, *, side: str = "c",
-                  lo_tol: float = 2e-6, lo_iter: int = None, key=None):
+                  lo_tol: float = 2e-6, lo_iter: int = None, key=None,
+                  driver: str = "auto"):
     """f32-then-f64 two-sided nonsymmetric Davidson (nonsym_driver,
     diaglib.f90:2252-2943).  The f64 stage is seeded from the f32 stage's
     RIGHT eigenvectors (consecutive mode re-derives the left side from
     them anyway, diaglib.f90:2892-2901); ``check_guess`` + ``ortho_cd``
-    re-orthonormalize in f64."""
+    re-orthonormalize in f64.  ``driver`` selects the reduced-eig path
+    for both stages (see ``nonsym``)."""
     lo_opts = _lo_options(options, lo_tol, lo_iter)
     guess32 = jnp.asarray(evec_guess, jnp.float32)
     lo = nonsym(matvec_lo, matvec_l_lo, precnd_lo, guess32, lo_opts,
-                side=side, key=key)
+                side=side, key=key, driver=driver)
     hi = nonsym(matvec_hi, matvec_l_hi, precnd_hi,
-                lo.evec_r.astype(jnp.float64), options, side=side, key=key)
+                lo.evec_r.astype(jnp.float64), options, side=side, key=key,
+                driver=driver)
     return dataclasses.replace(
         hi,
         n_iter=lo.n_iter + hi.n_iter,
