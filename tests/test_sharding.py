@@ -98,6 +98,33 @@ def test_caslr_eff_sharded(mesh):
                                np.asarray(res0.eig[:3]), rtol=0, atol=1e-8)
 
 
+def test_nonsym_sharded_device_driver(mesh):
+    """Two-sided nonsymmetric Davidson with the n axis sharded over the
+    mesh and the reduced eigensolve fully ON DEVICE (driver='device',
+    utils/eberlein.py) — the combination that needs no host callbacks
+    anywhere, so the whole pass is one pjit-sharded while_loop."""
+    import scipy.linalg
+
+    from diaglib_tpu.problems import nonsym_matrix
+    from diaglib_tpu.solvers import nonsym
+
+    a = nonsym_matrix(N, jax.random.PRNGKey(1), variant=4)
+    w = scipy.linalg.eig(np.asarray(a), right=False)
+    w_ref = np.sort(w[np.abs(w.imag) < 1e-9].real)
+    sh = VectorSharding(mesh)
+    opts = SolverOptions(n_targ=3, n_max=3, max_iter=200, tol=TOL,
+                         max_dav=10)
+    res = nonsym(dense_matvec(a), dense_matvec(a.T),
+                 diag_precnd(jnp.diagonal(a)),
+                 jnp.zeros((3, N), jnp.float64), opts, side="r",
+                 key=jax.random.PRNGKey(2), sharding=sh, driver="device")
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
+                               rtol=0, atol=1e-7)
+    shard_shapes = {s.data.shape for s in res.evec_r.addressable_shards}
+    assert shard_shapes == {(3, N // 8)}, shard_shapes
+
+
 def test_collectives_in_compiled_module(mesh, problem):
     """The Gram contractions must lower to cross-device reductions."""
     a, _ = problem
