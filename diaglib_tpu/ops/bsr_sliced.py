@@ -7,22 +7,25 @@ The flagship matvec problem for float64 operators on TPU is twofold:
   of the operator (f64 + f32 — 6 GB at the flagship 503M-nnz config), and
   scaling any dimension doubles against the 16 GB HBM of a v5e chip fast.
 
-This module stores the operator ONCE as Ozaki-style 6-bit integer slices
+This module stores the operator ONCE as Ozaki-style 7-bit integer slices
 (see ops/slicing.py for the scheme and its exactness argument): ``na``
-int8 slice planes on a per-(block-row, output-column) power-of-two grid —
-4.2 GB for the flagship operator at the default na=9, serving BOTH
+int8 slice planes on a per-(block-row, output-column) half power-of-two
+grid — 3.8 GB for the flagship operator at the default na=8, serving BOTH
 precision tiers of the ladder from one Pallas kernel:
 
-* ``matvec`` (f64): x is sliced into ``nx`` (default 9) planes, and each
-  block entry contributes a single (nx*k, B) x (B, na*B) int8 MXU matmul.
-  All slice-pair products land in int32 exactly (|q| < 2^7, B <= 512,
-  blocks/row bounded — guarded in the builder); pairs are folded into
-  per-level int32 accumulators in-kernel, and the level sums are combined
-  into f64 outside (int32 -> f64 is exact, weights are powers of two).
-  Result accuracy matches a true f64 SpMM (~1e-16 relative).
+* ``matvec`` (f64): x is sliced into ``nx`` (default 8) planes, and each
+  block entry contributes a single (nx*k, B) x (B, na*B) int8 MXU matmul
+  — at the solver block k=16 the lhs is exactly one 128-row MXU tile.
+  All slice-pair products land in int32 exactly (|q| <= 2^6 on the half
+  grid, B <= 512, blocks/row bounded — guarded in the builder); pairs are
+  folded into per-level int32 accumulators in-kernel, and the level sums
+  are combined into f64 outside (int32 -> f64 is exact, weights are
+  powers of two).  Result accuracy matches a true f64 SpMM (~1e-16
+  relative: 7*8-1 = 55 stored mantissa bits below each output column's
+  scale).
 * ``matvec_f32``: same kernel shape with nx=4 top x-slices and the top
   na<=4 A-slice planes (a contiguous prefix of the slice array — no data
-  movement), combined in f32.  Accuracy ~2^-18 relative — orders of
+  movement), combined in f32.  Accuracy ~2^-20 relative — orders of
   magnitude better than a plain f32 SpMM at the same speed (BASELINE.md).
 
 Reference mapping: the user-side ``matvec`` callback contract is
@@ -42,11 +45,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bsr import BSRMatrix
-from .slicing import combine_weights, slice_scaled
+from .slicing import combine_weights, pow2_grid, slice_scaled
 
 __all__ = ["SlicedBSR", "slice_bsr", "sliced_bsr_matvec"]
 
-_BITS = 6
+# 7-bit slices on a HALF power-of-two grid (|t| <= 0.5 keeps every slice at
+# |q| <= 64, inside int8): 8 planes cover 7*8-1 = 55 >= 54 mantissa bits,
+# one plane fewer than the 6-bit scheme (11% less slice-store bandwidth),
+# and the f64 tier's x side needs nx = 8 slices so the MXU sees exactly
+# nx*k = 128 lhs rows at the solver block k = 16 — one full row tile
+# instead of 144 rows padded to 256 (~44% wasted MXU issue).
+_BITS = 7
 
 
 @jax.tree_util.register_dataclass
@@ -100,24 +109,25 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
     memory stays bounded.
     """
     if na is None:
-        na = 9
+        na = 8
     B = m.block
     nbr = m.n // B
-    # int32 exactness guard for the DEFAULT tiers (nx <= 9; see also the
+    # int32 exactness guard for the DEFAULT tiers (nx <= 8; see also the
     # per-call guard in sliced_bsr_matvec for explicit nx): per-level
-    # products |q_x q_a| < 2^14 summed over B * blocks_per_row *
-    # n_level_pairs terms must stay below 2^31
+    # products |q_x q_a| <= 2^{2*(_BITS-1)} summed over B * blocks_per_row
+    # * n_level_pairs terms must stay below 2^31
     max_bpr = int(jnp.max(jnp.bincount(m.rows, length=nbr)))
     import math
-    if 14 + math.ceil(math.log2(B * max_bpr * min(na, 9))) > 31:
+    if (2 * (_BITS - 1)
+            + math.ceil(math.log2(B * max_bpr * min(na, 8)))) > 31:
         raise ValueError(
             f"block {B} x {max_bpr}/row overflows exact int32 accumulation")
 
-    # per-(block-row, column) power-of-two scale over all entries of the row
-    from .slicing import pow2_grid
+    # per-(block-row, column) HALF power-of-two scale over all entries of
+    # the row (see _BITS note: |t| <= 0.5 keeps slices inside int8)
     absmax = jnp.max(jnp.abs(m.blocks_t), axis=1)          # (nnzb, B)
     colmax = jnp.zeros((nbr, B), m.blocks_t.dtype).at[m.rows].max(absmax)
-    col_scale = pow2_grid(colmax.astype(jnp.float64))      # (nbr, B)
+    col_scale = 2.0 * pow2_grid(colmax.astype(jnp.float64))  # (nbr, B)
 
     @jax.jit
     def build(blocks_t, rows, col_scale):
@@ -255,7 +265,10 @@ def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
 
 
 def _slice_x(x, nx):
-    """Row-aligned int8 slices of x, stacked along the sublane axis."""
+    """Row-aligned int8 slices of x, stacked along the sublane axis.
+
+    Uses the same half power-of-two grid as the operand store (bits >= 7
+    forces it inside slice_operand), so |q| <= 64 on both sides."""
     from .slicing import slice_operand
     k, n = x.shape
     sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
@@ -266,15 +279,16 @@ def _slice_x(x, nx):
 def _tier_params(m_na: int, dtype, nx: int | None, nlev: int | None):
     """(nx, na_used, nlev) for the requested accuracy tier.
 
-    float64: full accuracy (nx=9 x-slices, all na A-planes, levels to
-    na+nx-2 capped at 10 — beyond that the terms fall under 2^-60).
+    float64: full accuracy (nx=8 x-slices, all na A-planes, levels to
+    na+nx-2 capped at 9 — beyond that the terms fall under 2^-61 of the
+    per-column scale, below the 2^-55 storage truncation).
     float32: fast tier (nx=4, top min(na,4) A-planes, 4 levels,
-    ~2^-18 relative — better than a plain f32 SpMM).
+    ~2^-20 relative — better than a plain f32 SpMM).
     """
     if dtype == jnp.float64:
-        nx = 9 if nx is None else nx
+        nx = 8 if nx is None else nx
         na_used = m_na
-        nlev = min(na_used + nx - 1, 10) if nlev is None else nlev
+        nlev = min(na_used + nx - 1, 9) if nlev is None else nlev
     else:
         nx = 4 if nx is None else nx
         na_used = min(m_na, 4)
@@ -295,7 +309,8 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
         # products per level, summed over B * blocks_per_row terms
         import math
         pairs = min(nx, na_used)
-        if 14 + math.ceil(math.log2(m.block * m.max_bpr * pairs)) > 31:
+        if (2 * (_BITS - 1)
+                + math.ceil(math.log2(m.block * m.max_bpr * pairs))) > 31:
             raise ValueError(
                 f"nx={nx} x na={na_used} slices overflow exact int32 "
                 f"accumulation at block {m.block} x {m.max_bpr}/row")

@@ -31,12 +31,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-from .bsr_sliced import SlicedBSR, _slice_x, _sliced_kernel, _tier_params
+from .bsr_sliced import (
+    _BITS,
+    SlicedBSR,
+    _slice_x,
+    _sliced_kernel,
+    _tier_params,
+)
 from .slicing import combine_weights
 
 __all__ = ["DistSlicedBSR", "distribute_sliced_bsr", "dist_sliced_matvec"]
-
-_BITS = 6
 
 
 @jax.tree_util.register_dataclass

@@ -80,6 +80,11 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
     """
     x = jnp.asarray(x)
     scale = _row_scale(x, axis)
+    if bits >= 7:
+        # half grid: |t| <= 0.5 keeps the top slice at |q| <= 2^{bits-1},
+        # inside int8 even at bits=7 (a full grid would hit q = 2^7 = 128
+        # exactly when a line max is a power of two)
+        scale = 2.0 * scale
     t = x / scale  # exact: power-of-two division
     return slice_scaled(t, n_slices=n_slices, bits=bits), scale
 
@@ -110,10 +115,13 @@ def slice_scaled(t, n_slices: int = _SLICES, bits: int = _BITS):
     rem_hi, rem_mid, rem_lo = hi, mid, lo
     for i in range(n_slices):
         rem_hi, q = peel(rem_hi, i)
-        if i >= 3:  # |mid| <= 2^-25: contributes from the 5th slice on
+        # |mid| <= 2^-24 rounds to zero while the slice weight w satisfies
+        # |mid| < w/2, i.e. while bits*(i+1) < 23 — peel from there on
+        # (bits=6: slice 3; bits=7: slice 3); same for |lo| <= 2^-48
+        if bits * (i + 1) >= 24:
             rem_mid, q2 = peel(rem_mid, i)
             q = q + q2
-        if i >= 7:  # |lo| <= 2^-50: contributes only to the deepest slices
+        if bits * (i + 1) >= 48:
             rem_lo, q3 = peel(rem_lo, i)
             q = q + q3
         slices.append(q.astype(jnp.int8))

@@ -284,9 +284,12 @@ def b_ortho(u, bu, mask=None):
     near-resonant preconditioned directions), the reference's disabled
     ``use_svd`` branch (diaglib.f90:3116-3168) takes over as the rescue
     path: metric^{-1/2} with singular directions below tol dropped.  The
-    reference would hard-stop here; the SVD branch keeps the basis usable
-    and the solvers' ``ortho_ok`` flag still reports the event via the
-    downstream ``b_ortho_vs_x`` convergence test.
+    reference would hard-stop here (diaglib.f90:3131-3138); the SVD branch
+    keeps the basis usable, and the returned ``ok`` flag (False when the
+    rescue fired) lets every caller AND the event into the solver-level
+    ``ortho_ok`` so a metric breakdown is never silent.
+
+    Returns ``(u, bu, ok)``.
     """
     k = u.shape[0]
     mask = _rowmask(mask, k)
@@ -314,7 +317,7 @@ def b_ortho(u, bu, mask=None):
     u_new, bu_new = jax.lax.cond(failed, svd_path, chol_path, None)
     u_new = jnp.where(mask[:, None], u_new, 0.0)
     bu_new = jnp.where(mask[:, None], bu_new, 0.0)
-    return u_new, bu_new
+    return u_new, bu_new, ~failed
 
 
 def b_ortho_svd(u, bu, mask=None, tol_svd: float = 1.0e-5):

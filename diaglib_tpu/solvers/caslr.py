@@ -438,13 +438,17 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
     kp, km = jax.random.split(key)
 
     def metric_ortho(v, op, mask=None):
+        """B-orthonormalize v in the (A±B) metric; the third element is
+        b_ortho's ok flag (False when the SVD rescue replaced a failed
+        metric Cholesky — the reference hard-stops there,
+        diaglib.f90:3131-3138)."""
         lv = op(v)
         if mask is not None:
             lv = jnp.where(mask[:, None], lv, 0.0)
         return b_ortho(v, lv, mask)
 
-    vp0, lvp0 = metric_ortho(_nonzero_or_random(vp0, kp), apbmul)
-    vm0, lvm0 = metric_ortho(_nonzero_or_random(vm0, km), ambmul)
+    vp0, lvp0, bok_p0 = metric_ortho(_nonzero_or_random(vp0, kp), apbmul)
+    vm0, lvm0, bok_m0 = metric_ortho(_nonzero_or_random(vm0, km), ambmul)
 
     def cond(s: _CaslrState):
         return (~s.ok) & (s.it < max_iter)
@@ -532,12 +536,14 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                                       umask=umask)
             lyp = apbmul(yp)
             lyp = jnp.where(umask[:, None], lyp, 0.0)
-            yp, lyp = b_ortho(yp, lyp, umask)
+            yp, lyp, bok_p = b_ortho(yp, lyp, umask)
+            p_done = p_done & bok_p
             ym, m_done = b_ortho_vs_x(s.vm, s.lvm, ym, xmask=col_ok,
                                       umask=umask)
             lym = ambmul(ym)
             lym = jnp.where(umask[:, None], lym, 0.0)
-            ym, lym = b_ortho(ym, lym, umask)
+            ym, lym, bok_m = b_ortho(ym, lym, umask)
+            m_done = m_done & bok_m
             return (scatter_rows(s.vp, yp, ldu_new),
                     scatter_rows(s.vm, ym, ldu_new),
                     scatter_rows(s.lvp, lyp, ldu_new),
@@ -546,14 +552,15 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                     s.ortho_ok & p_done & m_done)
 
         def restart(_):
-            vpn, lvpn = metric_ortho(eigp, apbmul)
-            vmn, lvmn = metric_ortho(eigm, ambmul)
+            vpn, lvpn, bok_p = metric_ortho(eigp, apbmul)
+            vmn, lvmn, bok_m = metric_ortho(eigm, ambmul)
             z = jnp.zeros_like(s.vp)
             return (scatter_rows(z, vpn, 0), scatter_rows(z, vmn, 0),
                     scatter_rows(z, lvpn, 0), scatter_rows(z, lvmn, 0),
                     z, z,
                     jnp.asarray(0, jnp.int32), jnp.asarray(n_max, jnp.int32),
-                    jnp.asarray(1, jnp.int32), s.ortho_ok)
+                    jnp.asarray(1, jnp.int32),
+                    s.ortho_ok & bok_p & bok_m)
 
         def finish(_):
             return (s.vp, s.vm, s.lvp, s.lvm, bvp, bvm, ldu_new, s.n_act,
@@ -595,7 +602,7 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
-        ortho_ok=jnp.asarray(True),
+        ortho_ok=bok_p0 & bok_m0,
         n_matvec=jnp.asarray(2 * n_max, jnp.int32),  # prologue apb/amb
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),

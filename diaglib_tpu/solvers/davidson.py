@@ -104,9 +104,10 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
     guess = check_guess(evec_guess, key)
     if gen_eig:
         bguess = bvec(guess)
-        guess, bguess = b_ortho(guess, bguess)
+        guess, bguess, b_ok0 = b_ortho(guess, bguess)
     else:
         bguess = jnp.zeros_like(guess)
+        b_ok0 = jnp.asarray(True)
 
     def cond(s: _DavidsonState):
         return (~s.ok) & (s.it < max_iter)
@@ -184,7 +185,8 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
                                             xmask=col_ok, umask=umask)
                 bnew = bvec(unew)
                 bnew = jnp.where(umask[:, None], bnew, 0.0)
-                unew, bnew = b_ortho(unew, bnew, umask)
+                unew, bnew, b_ok = b_ortho(unew, bnew, umask)
+                o_done = o_done & b_ok
                 bspace2 = scatter_rows(s.bspace, bnew, ldu_new)
             else:
                 unew, o_done = ortho_vs_x(s.space, pre, xmask=col_ok,
@@ -206,9 +208,9 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             if gen_eig:
                 # collapse + re-B-orthonormalize the Ritz block
                 # (diaglib.f90:2196-2198; bspace KEPT, see module docstring)
-                ev, bev = b_ortho(evec, metric_evec)
+                ev, bev, b_ok = b_ortho(evec, metric_evec)
             else:
-                ev, bev = evec, metric_evec
+                ev, bev, b_ok = evec, metric_evec, jnp.asarray(True)
             sp = scatter_rows(jnp.zeros_like(s.space), ev, 0)
             bsp = (scatter_rows(jnp.zeros_like(s.bspace), bev, 0)
                    if gen_eig else s.bspace)
@@ -227,7 +229,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
                 jnp.asarray(n_max, jnp.int32),
                 n_frozen.astype(jnp.int32),
                 jnp.asarray(1, jnp.int32),
-                s.ortho_ok,
+                s.ortho_ok & b_ok,
             )
 
         def noop(_):
@@ -269,7 +271,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
-        ortho_ok=jnp.asarray(True),
+        ortho_ok=b_ok0,
         n_matvec=jnp.asarray(0, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),

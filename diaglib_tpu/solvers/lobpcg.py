@@ -116,7 +116,8 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
             w, o_done = b_ortho_vs_x(xp, bxp, w, xmask=xmask, umask=umask)
             bw = bvec(w)
             bw = jnp.where(umask[:, None], bw, 0.0)
-            w, bw = b_ortho(w, bw, umask)
+            w, bw, b_ok = b_ortho(w, bw, umask)
+            o_done = o_done & b_ok
         else:
             w, o_done = ortho_vs_x(xp, w, xmask=xmask, umask=umask)
             bw = jnp.zeros_like(w)
@@ -126,10 +127,11 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
     guess = check_guess(evec_guess, key)
     if gen_eig:
         bx = bvec(guess)
-        x, bx = b_ortho(guess, bx)
+        x, bx, b_ok0 = b_ortho(guess, bx)
     else:
         x = guess
         bx = jnp.zeros_like(guess)
+        b_ok0 = jnp.asarray(True)
     ax = apply_a(x)
     g0 = mmT(x, ax)
     e0, c0 = reduced.eigh(0.5 * (g0 + g0.T), options.reduced_solver)
@@ -245,7 +247,7 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
         rms=jnp.full((n_max,), jnp.inf, dtype),
         rmx=jnp.full((n_max,), jnp.inf, dtype),
         ok=jnp.asarray(False),
-        ortho_ok=o_done0,
+        ortho_ok=o_done0 & b_ok0,
         n_matvec=jnp.asarray(n_max, jnp.int32),
         eig_h=jnp.zeros((max_iter, n_max), dtype),
         rms_h=jnp.full((max_iter, n_max), jnp.inf, dtype),

@@ -68,3 +68,20 @@ def test_gen_david_b_orthonormal_space(gen_problem):
     # converged roots (the prefix) must be B-orthonormal
     k = int(jnp.sum(res.done))
     np.testing.assert_allclose(np.asarray(g[:k, :k]), np.eye(k), atol=1e-6)
+
+
+def test_gen_david_rank_deficient_metric_flags_ortho():
+    """A rank-deficient metric B breaks the guess's metric Cholesky; the
+    SVD rescue keeps the run alive but the event must surface as
+    ortho_ok=False on the result (the reference hard-stops on this dpotrf
+    failure, diaglib.f90:3131-3138)."""
+    n, k = 64, 4
+    a = symm_matrix(n)
+    # PSD metric of rank 2 < n_max=4: the (k, k) guess metric is singular
+    m = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (2, n)))
+    s = jnp.asarray(m.T @ m)
+    opts = SolverOptions(n_targ=2, n_max=k, max_iter=3, tol=1e-8)
+    res = gen_david(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                    dense_matvec(s), jnp.zeros((k, n), jnp.float64),
+                    opts, key=jax.random.PRNGKey(5))
+    assert not bool(res.ortho_ok)

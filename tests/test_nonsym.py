@@ -202,3 +202,26 @@ def test_complex_pairs_parked():
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.eig[:4]), w_real[:4],
                                rtol=0, atol=1e-7)
+
+
+def test_pass_programs_released_with_operator():
+    """The nonsym program memo must not pin operator closures (at flagship
+    scale each closure holds a multi-GB slice store): programs live ON the
+    operator callable, so dropping the matvec closure releases them."""
+    import gc
+    import weakref
+
+    a = nonsym_matrix(64, jax.random.PRNGKey(2), variant=3)
+    mv = dense_matvec(a)
+    mv_l = dense_matvec(a.T)
+    pc = diag_precnd(jnp.diagonal(a))
+    opts = SolverOptions(n_targ=2, n_max=2, max_iter=30, tol=1e-7,
+                         max_dav=8)
+    res = nonsym(mv, mv_l, pc, jnp.zeros((2, 64), jnp.float64), opts,
+                 side="r", key=jax.random.PRNGKey(3), driver="host")
+    assert bool(res.ok)
+    assert "_nonsym_pass_programs" in mv.__dict__  # memo rides the closure
+    ref = weakref.ref(mv)
+    del mv, mv_l, pc, res
+    gc.collect()
+    assert ref() is None  # operator + its programs are collectible

@@ -133,16 +133,36 @@ def spd_metric():
 def test_b_ortho(spd_metric):
     u = _rand(KEY, 5)
     bu = u @ spd_metric
-    u_out, bu_out = b_ortho(u, bu)
+    u_out, bu_out, ok = b_ortho(u, bu)
+    assert bool(ok)  # clean Cholesky, no SVD rescue
     g = u_out @ bu_out.T
     assert float(jnp.max(jnp.abs(g - jnp.eye(5)))) < 1e-10
     assert float(jnp.max(jnp.abs(u_out @ spd_metric - bu_out))) < 1e-10
 
 
+def test_b_ortho_rescue_reports_not_ok(spd_metric):
+    """A rank-deficient block breaks the metric Cholesky; the SVD rescue
+    must keep the basis usable AND report ok=False (the reference
+    hard-stops on this dpotrf failure, diaglib.f90:3131-3138)."""
+    u = _rand(KEY, 5)
+    u = u.at[3].set(u[0] + 1e-16 * u[1])  # duplicate direction
+    u = u.at[4].set(u[1])
+    bu = u @ spd_metric
+    u_out, bu_out, ok = b_ortho(u, bu)
+    assert not bool(ok)
+    assert bool(jnp.all(jnp.isfinite(u_out)))
+    # the rescued B-Gram is a projector on the surviving subspace: its
+    # eigenvalues are 1 (kept directions) and 0 (dropped duplicates)
+    g = np.asarray(u_out @ bu_out.T)
+    ev = np.sort(np.linalg.eigvalsh(0.5 * (g + g.T)))
+    assert np.all(np.abs(ev[-3:] - 1.0) < 1e-8)
+    assert np.all(np.abs(ev[:2]) < 1e-8)
+
+
 def test_b_ortho_vs_x(spd_metric):
     x = _rand(KEY, 5)
     bx = x @ spd_metric
-    x, bx = b_ortho(x, bx)
+    x, bx, _ = b_ortho(x, bx)
     u = _rand(jax.random.PRNGKey(13), 3)
     u_out, ok = b_ortho_vs_x(x, bx, u)
     # B-orthogonal to x and orthonormal (plain) among themselves
