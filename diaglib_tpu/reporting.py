@@ -63,6 +63,41 @@ def timing_report(solver: str, wall_s: float, n_iter: int, n_matvec: int,
     print(f"    operator applications:{n_matvec:12d}", file=file)
 
 
+# one probe per backend: does this PJRT runtime implement the host
+# callbacks jax.debug.print rides on?  (The axon TPU plugin does not —
+# UNIMPLEMENTED at run time, after compilation succeeded.)
+_DEBUG_CB_SUPPORT: dict = {}
+_WARNED: set = set()
+
+
+def _inflight_supported() -> bool:
+    """True when jax.debug.print can actually execute on this backend.
+
+    Probed by AOT-compiling and RUNNING a trivial debug.print program —
+    lower/compile + execute works even when the caller is itself inside a
+    jit trace (inflight_progress is invoked at solver trace time), because
+    the compiled executable runs outside the tracing machinery.
+    """
+    import jax
+
+    backend = jax.default_backend()
+    if backend not in _DEBUG_CB_SUPPORT:
+        def probe(x):
+            jax.debug.print("", ordered=False)
+            return x
+
+        try:
+            # np scalar, NOT jnp: inside an active trace a jnp literal
+            # becomes tracer-backed and the compiled call would reject it
+            arg = np.float32(0)
+            compiled = jax.jit(probe).lower(arg).compile()
+            jax.block_until_ready(compiled(arg))
+            _DEBUG_CB_SUPPORT[backend] = True
+        except Exception:
+            _DEBUG_CB_SUPPORT[backend] = False
+    return _DEBUG_CB_SUPPORT[backend]
+
+
 def inflight_progress(name: str, it, n_act, eig, rms, rmx):
     """One live progress line per iteration (SolverOptions.verbose).
 
@@ -70,9 +105,26 @@ def inflight_progress(name: str, it, n_act, eig, rms, rmx):
     (diaglib.f90:459-464); on TPU the equivalent is a ``jax.debug.print``
     host callback from inside the compiled while_loop — zero cost when
     verbose is off (the call is simply not traced in).
+
+    On runtimes without host callbacks (probed once per backend) the live
+    line degrades to a one-time warning instead of a run-time failure;
+    the full table is still available post hoc via
+    :func:`print_convergence_table` (the result carries the history).
     """
+    import warnings
+
     import jax
 
+    if not _inflight_supported():
+        backend = jax.default_backend()
+        if backend not in _WARNED:
+            _WARNED.add(backend)
+            warnings.warn(
+                f"verbose in-flight progress disabled: backend {backend!r} "
+                "has no host callbacks (jax.debug.print UNIMPLEMENTED); "
+                "use print_convergence_table(result, ...) post hoc",
+                RuntimeWarning, stacklevel=2)
+        return
     jax.debug.print(
         name + " it={it} n_act={na} eig0={e:.12e} rms={r:.3e} max={m:.3e}",
         it=it, na=n_act, e=eig[0], r=jnp_max(rms), m=jnp_max(rmx),

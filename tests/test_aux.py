@@ -138,3 +138,32 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     scratch = davidson(mv, pc, jnp.zeros((6, 120)), opts,
                        key=jax.random.PRNGKey(1))
     assert int(res.n_iter) < int(scratch.n_iter)
+
+
+def test_verbose_degrades_on_callbackless_backend(monkeypatch, recwarn):
+    """On runtimes without host callbacks (e.g. the axon TPU plugin),
+    verbose=True must degrade to a one-time warning, not a run-time
+    failure (round-2 VERDICT Weak #6)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from diaglib_tpu import SolverOptions, reporting
+    from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+    from diaglib_tpu.solvers import davidson
+
+    backend = jax.default_backend()
+    monkeypatch.setitem(reporting._DEBUG_CB_SUPPORT, backend, False)
+    monkeypatch.setattr(reporting, "_WARNED", set())
+    a = symm_matrix(100)
+    opts = SolverOptions(n_targ=2, n_max=4, max_iter=50, tol=1e-8,
+                         verbose=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        res = davidson(dense_matvec(a), diag_precnd(jnp.diagonal(a)),
+                       jnp.zeros((4, 100)), opts, key=jax.random.PRNGKey(1))
+    assert bool(res.ok)
+    msgs = [w for w in caught if "in-flight progress disabled" in
+            str(w.message)]
+    assert len(msgs) == 1  # one-time warning, solve completes
