@@ -309,7 +309,15 @@ def random_bsr_spd(n: int, block: int, blocks_per_row: int, key,
         off = scale * jax.random.normal(k_off, (max(n_pairs, 1), B, B), dtype)
         sym = jax.random.normal(k_sym, (nbr, B, B), dtype) * jnp.asarray(
             1.0 / np.sqrt(B), dtype)
-        sym = 0.5 * (sym + sym.transpose(0, 2, 1))
+        # EXACT symmetry by construction: mirror the strict lower triangle
+        # so (i, j) and (j, i) are the same stored value.  The arithmetic
+        # identity 0.5*(a + a^T) is exact in IEEE but NOT under jit: XLA
+        # fuses the scaling into the two operands differently and the
+        # result is asymmetric at f32 eps (observed 3e-8) — enough to
+        # spoil a 1e-10 f64 residual target on a nominally SPD operator.
+        low = jnp.tril(sym, -1)
+        sym = low + low.transpose(0, 2, 1) + jax.vmap(jnp.diag)(
+            jnp.diagonal(sym, axis1=1, axis2=2))
 
         # diagonal dominance: per-row accumulated off-block row/col mass
         row_mass = jnp.max(jnp.sum(jnp.abs(off), axis=2), axis=1)

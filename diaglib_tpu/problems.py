@@ -33,6 +33,9 @@ __all__ = [
     "diag_precnd",
     "bsr_casida_tdscf",
     "casida_tdscf_ops",
+    "bsr_nonsym_similarity",
+    "nonsym_similarity_ops",
+    "bsr_gen_problem",
     "lrprec_eff",
     "lrprec_std",
 ]
@@ -266,3 +269,133 @@ def lrprec_eff(aa_diag, sigma_diag):
         return yp, ym
 
     return pc
+
+
+def _band_bsr(n: int, block: int, key, scale: float, dtype=jnp.float32):
+    """One-off-diagonal-band BSR matrix (rows r hold block (r, r+1 mod nbr))
+    with iid normal blocks scaled to total Frobenius norm ``scale``."""
+    import numpy as np
+
+    from .ops.bsr import BSRMatrix
+
+    nbr = n // block
+    nnz = nbr * block * block
+    c = scale / float(np.sqrt(nnz))
+    blocks = c * jax.random.normal(key, (nbr, block, block), dtype)
+    rows = jnp.arange(nbr, dtype=jnp.int32)
+    cols = (rows + 1) % nbr
+    return BSRMatrix(blocks_t=blocks.transpose(0, 2, 1), rows=rows,
+                     cols=cols, row_start=rows, n=n, block=block)
+
+
+def _bsr_transpose_band(t):
+    """Transpose of a one-band BSR from _band_bsr (entry (r, r+1) becomes
+    (r+1, r); entries stay row-sorted)."""
+    import numpy as np
+
+    from .ops.bsr import BSRMatrix
+
+    nbr = t.n // t.block
+    # entry e of t is (e, e+1 mod nbr); its transpose lives at row
+    # (e+1 mod nbr) — reorder entries so rows are ascending again
+    order = jnp.argsort((t.rows + 1) % nbr)
+    rows = jnp.arange(nbr, dtype=jnp.int32)
+    return BSRMatrix(
+        blocks_t=t.blocks_t[order].transpose(0, 2, 1),
+        rows=rows,
+        cols=(rows - 1) % nbr,
+        row_start=rows,
+        n=t.n,
+        block=t.block,
+    )
+
+
+def bsr_nonsym_similarity(n: int, block: int, blocks_per_row: int, key,
+                          t_scale: float = 0.01, na: int | None = None):
+    """Flagship-scale nonsymmetric problem: similarity-transformed
+    symmetric operator, matrix-free (the reference's variant-4
+    construction, main.f90:1041-1092, at production scale).
+
+    R = E_- S E_+ with S a sliced SPD BSR operator, E_± the order-4
+    truncated series of e^{±T}, and T a one-band BSR scaled to
+    ||T||_F = ``t_scale`` (the reference's 0.01).  E_- is the series of
+    -T, NOT the inverse of the truncated E_+, so R is similar to S only
+    up to O(||T||^5/120) ~ 1e-19 — far below f64; the spectrum is real
+    and equals eig(S) to machine precision, exactly the variant-4
+    contract.  The LEFT operator is the exact transpose
+    R^T = E_+^T S E_-^T, applied through the sliced store of T^T.
+
+    Returns ``(stores, diagonal)`` where ``stores = (s, t, tt)`` are
+    SlicedBSR pytrees (pass them as jit ARGUMENTS and build the closures
+    inside with :func:`nonsym_similarity_ops`) and ``diagonal`` is S's
+    diagonal for the preconditioner (diag(R) = diag(S) + O(||T||)).
+    """
+    from .ops.bsr import random_bsr_spd
+    from .ops.bsr_sliced import slice_bsr
+
+    ks, kt = jax.random.split(key)
+    s = slice_bsr(random_bsr_spd(n, block, blocks_per_row, ks,
+                                 dtype=jnp.float32), na=na)
+    t = _band_bsr(n, block, kt, t_scale)
+    tt = _bsr_transpose_band(t)
+    st, stt = slice_bsr(t, na=na), slice_bsr(tt, na=na)
+    return (s, st, stt), s.diagonal
+
+
+def nonsym_similarity_ops(stores, dtype=jnp.float64, terms: int = 4,
+                          interpret: bool = False):
+    """(matvec, matvec_l) closures over the similarity stores at a tier.
+
+    Jit-traceable: call INSIDE a jitted function whose arguments are the
+    three SlicedBSR pytrees (DESIGN.md §6 — never close over multi-GB
+    stores).  ``terms``=4 keeps the e^{±T} truncation at
+    ||T||^5/120 ~ 1e-19 for ||T|| = 0.01.
+    """
+    from .ops.bsr_sliced import sliced_bsr_matvec
+
+    s, st, stt = stores
+    smv = sliced_bsr_matvec(s, dtype=dtype, interpret=interpret)
+    tmv = sliced_bsr_matvec(st, dtype=dtype, interpret=interpret)
+    ttmv = sliced_bsr_matvec(stt, dtype=dtype, interpret=interpret)
+
+    def exp_apply(apply_t, x, sign):
+        term, acc = x, x
+        for j in range(1, terms + 1):
+            term = apply_t(term) * (sign / j)
+            acc = acc + term
+        return acc
+
+    def mv(x):  # R x = E_- S E_+ x, rowwise
+        return exp_apply(tmv, smv(exp_apply(tmv, x, 1.0)), -1.0)
+
+    def mv_l(x):  # R^T x = E_+^T S E_-^T x
+        return exp_apply(ttmv, smv(exp_apply(ttmv, x, -1.0)), 1.0)
+
+    return mv, mv_l
+
+
+def bsr_gen_problem(n: int, block: int, blocks_per_row: int, key,
+                    metric_blocks_per_row: int = 4, na: int | None = None):
+    """Flagship-scale generalized eigenproblem A x = lambda B x on sliced
+    BSR operators (gen_david_driver / generalized LOBPCG semantics,
+    diaglib.f90:1855-2250 and 299-302, at production scale).
+
+    A is the flagship SPD operator (separated low modes); B is an
+    independent diagonally-dominant SPD operator (same builder, milder
+    off-diagonals) — a well-conditioned metric, like the reference's
+    S = M^T M (main.f90:429-430) but block-sparse.
+
+    Returns ``(a, b)`` SlicedBSR stores; pass them as jit ARGUMENTS and
+    build matvec/bvec tiers inside with
+    ``sliced_bsr_matvec(a, dtype=...)``.
+    """
+    from .ops.bsr import random_bsr_spd
+    from .ops.bsr_sliced import slice_bsr
+
+    ka, kb = jax.random.split(key, 2)
+    a = slice_bsr(random_bsr_spd(n, block, blocks_per_row, ka,
+                                 dtype=jnp.float32), na=na)
+    b = slice_bsr(random_bsr_spd(n, block, metric_blocks_per_row, kb,
+                                 dtype=jnp.float32, off_scale=0.1,
+                                 n_low_modes=0), na=na)
+    return a, b

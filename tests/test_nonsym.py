@@ -225,3 +225,82 @@ def test_pass_programs_released_with_operator():
     del mv, mv_l, pc, res
     gc.collect()
     assert ref() is None  # operator + its programs are collectible
+
+
+def test_bsr_nonsym_similarity_matches_dense_oracle():
+    """The flagship-scale similarity operator (variant-4 construction on
+    sliced BSR stores, problems.bsr_nonsym_similarity) must match its
+    dense oracle: R = E_- S E_+ with the same order-4 series, and the
+    left operator must be R's exact transpose."""
+    from diaglib_tpu.ops.bsr import bsr_to_dense, random_bsr_spd
+    from diaglib_tpu.problems import (
+        _band_bsr,
+        _bsr_transpose_band,
+        bsr_nonsym_similarity,
+        nonsym_similarity_ops,
+    )
+
+    n, B, bpr = 192, 32, 3
+    key = jax.random.PRNGKey(5)
+    stores, diag = bsr_nonsym_similarity(n, B, bpr, key, t_scale=0.05)
+
+    # dense oracle with the same constructions
+    ks, kt = jax.random.split(key)
+    s_dense = np.asarray(
+        bsr_to_dense(random_bsr_spd(n, B, bpr, ks, dtype=jnp.float32)),
+        np.float64)
+    t_dense = np.asarray(bsr_to_dense(_band_bsr(n, B, kt, 0.05)), np.float64)
+
+    def series(m, sign, terms=4):
+        acc = np.eye(n)
+        term = np.eye(n)
+        for j in range(1, terms + 1):
+            term = term @ (sign * m) / j
+            acc = acc + term
+        return acc
+
+    r_dense = series(t_dense, -1.0) @ s_dense @ series(t_dense, 1.0)
+
+    mv, mv_l = nonsym_similarity_ops(stores, interpret=True)
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, n), jnp.float64)
+    scale = np.max(np.abs(r_dense)) * float(jnp.max(jnp.abs(x)))
+    np.testing.assert_allclose(np.asarray(mv(x)), np.asarray(x) @ r_dense.T,
+                               atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(mv_l(x)), np.asarray(x) @ r_dense,
+                               atol=1e-13 * scale)
+    np.testing.assert_allclose(np.asarray(diag), np.diagonal(s_dense),
+                               atol=0)
+    # transpose-store consistency (T^T really is T transposed)
+    tt_dense = np.asarray(
+        bsr_to_dense(_bsr_transpose_band(_band_bsr(n, B, kt, 0.05))))
+    np.testing.assert_allclose(tt_dense, t_dense.T, atol=0)
+
+
+def test_nonsym_solver_on_similarity_stores():
+    """End-to-end: two-sided Davidson (device reduced-eig driver) on the
+    sliced similarity operator recovers eigh(S) — the variant-4 spectrum
+    contract at BSR scale."""
+    from diaglib_tpu.ops.bsr import bsr_to_dense, random_bsr_spd
+    from diaglib_tpu.problems import (
+        bsr_nonsym_similarity,
+        diag_precnd,
+        nonsym_similarity_ops,
+    )
+
+    n, B, bpr = 192, 32, 3
+    key = jax.random.PRNGKey(5)
+    stores, diag = bsr_nonsym_similarity(n, B, bpr, key, t_scale=0.05)
+    s_dense = np.asarray(
+        bsr_to_dense(random_bsr_spd(n, B, bpr, jax.random.split(key)[0],
+                                    dtype=jnp.float32)), np.float64)
+    w_ref = np.linalg.eigvalsh(s_dense)
+
+    mv, mv_l = nonsym_similarity_ops(stores, interpret=True)
+    opts = SolverOptions(n_targ=3, n_max=3, max_iter=100, tol=1e-9,
+                         max_dav=10)
+    res = nonsym(mv, mv_l, diag_precnd(diag),
+                 jnp.zeros((3, n), jnp.float64), opts, side="c",
+                 key=jax.random.PRNGKey(3), driver="device")
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
+                               rtol=0, atol=1e-7)
