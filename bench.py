@@ -399,46 +399,130 @@ def section_nonsym_toy():
 
 
 def section_nonsym_flagship():
-    """Flagship-scale nonsymmetric solve: nonsym ladder (driver='device')
-    on a similarity-transformed BSR operator at n=65536 (the reference's
+    """Flagship-scale nonsymmetric solve: nonsym ladder (driver='device',
+    reduced eig fully on device via the Eberlein norm-reducing Jacobi) on
+    the similarity-transformed sliced operator at n=65536 (the reference's
     variant-4 construction, main.f90:1041-1092, at production scale)."""
     jax = _jax()
     import jax.numpy as jnp
 
     from diaglib_tpu import SolverOptions
-    from diaglib_tpu.problems import bsr_nonsym_similarity
+    from diaglib_tpu.problems import (
+        bsr_nonsym_similarity,
+        diag_precnd,
+        nonsym_similarity_ops,
+    )
     from diaglib_tpu.solvers import nonsym_ladder
 
     n, B, bpr = 65536, 512, 8
     n_want = 10
-    ops64, ops32, diag = bsr_nonsym_similarity(n, B, bpr,
-                                               jax.random.PRNGKey(0))
+    stores, diag = bsr_nonsym_similarity(n, B, bpr, jax.random.PRNGKey(0))
     opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=150, tol=1e-10,
                          max_dav=10)
     g = jnp.zeros((n_want, n), jnp.float64)
 
-    run = jax.jit(lambda store, g, k: nonsym_ladder(
-        *ops32(store), *ops64(store), g, opts, side="c",
-        lo_tol=2e-6, lo_iter=60, key=k, driver="device"))
-    store = ops64.store if hasattr(ops64, "store") else None
-    raise SystemExit("bsr_nonsym_similarity wiring placeholder")
+    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6)
+    def run(stores, g, k):
+        mv32, mvl32 = nonsym_similarity_ops(stores, dtype=jnp.float32)
+        mv64, mvl64 = nonsym_similarity_ops(stores, dtype=jnp.float64)
+        return nonsym_ladder(
+            mv32, mvl32, diag_precnd(diag.astype(jnp.float32)),
+            mv64, mvl64, diag_precnd(diag),
+            g, opts, side="c", lo_tol=2e-6, lo_iter=60, key=k,
+            driver="device")
+
+    run = jax.jit(run)
+    t0 = time.time()
+    res = jax.block_until_ready(run(stores, g, jax.random.PRNGKey(1)))
+    log(f"nonsym ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
+        f"ok={bool(res.ok)} iters={int(res.n_iter)} "
+        f"matvecs={int(res.n_matvec)}")
+    dt, res, ok = _steady(
+        run, lambda k: (stores, g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(2 + i) for i in range(3)])
+    emit("nonsym_bsr_n65536_f64_wall", dt, "s", ok=ok,
+         iters=int(res.n_iter), n_matvec=int(res.n_matvec))
 
 
 def section_gen_flagship():
     """Flagship-scale generalized problem: gen_david ladder with a sliced
     SPD metric operator at n=65536 (gen_david_driver semantics,
-    diaglib.f90:1855-2250)."""
-    raise SystemExit("gen flagship placeholder")
+    diaglib.f90:1855-2250; metric contract diaglib.f90:299-302)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from diaglib_tpu import SolverOptions
+    from diaglib_tpu.ops.bsr_sliced import sliced_bsr_matvec
+    from diaglib_tpu.problems import bsr_gen_problem, diag_precnd
+    from diaglib_tpu.solvers import gen_david_ladder
+
+    n, B = 65536, 512
+    n_want, n_eig = 10, 15
+    a, b = bsr_gen_problem(n, B, 8, jax.random.PRNGKey(0))
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
+                         max_dav=10)
+    g = jnp.zeros((n_eig, n), jnp.float64)
+    f32 = jnp.float32
+
+    run = jax.jit(lambda a, b, g, k: gen_david_ladder(
+        sliced_bsr_matvec(a, dtype=f32),
+        diag_precnd(a.diagonal.astype(f32)),
+        sliced_bsr_matvec(b, dtype=f32),
+        sliced_bsr_matvec(a), diag_precnd(a.diagonal),
+        sliced_bsr_matvec(b),
+        g, opts, lo_tol=2e-6, lo_iter=60, key=k))
+    t0 = time.time()
+    res = jax.block_until_ready(run(a, b, g, jax.random.PRNGKey(1)))
+    log(f"gen_david ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
+        f"ok={bool(res.ok)} iters={int(res.n_iter)} "
+        f"matvecs={int(res.n_matvec)}")
+    dt, res, ok = _steady(
+        run, lambda k: (a, b, g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(2 + i) for i in range(3)])
+    emit("gen_david_bsr_n65536_f64_wall", dt, "s", ok=ok,
+         iters=int(res.n_iter), n_matvec=int(res.n_matvec))
 
 
 def section_scaling():
-    """Scaling-efficiency harness on the virtual 8-device CPU mesh:
-    row-sharded solver over D ∈ {1, 2, 4, 8} mesh slots.  Absolute walls
-    on a shared-core CPU mesh are not chip numbers; the family exists to
-    pin the distributed path's overhead shape (collective regressions show
-    up as t_D blowing up with D) and becomes pod-ready verbatim on real
-    hardware."""
-    raise SystemExit("scaling placeholder")
+    """Scaling harness: row-sharded Davidson over D ∈ {1, 2, 4, 8} mesh
+    slots (BASELINE.md targets row: 1 chip / 1 host / N hosts).
+
+    On real multi-chip hardware the same code measures true scaling; this
+    environment has one chip, so the section runs on the virtual 8-device
+    CPU mesh (the child process env pins JAX_PLATFORMS=cpu +
+    xla_force_host_platform_device_count=8).  Absolute walls on a
+    shared-core CPU mesh are NOT chip numbers; the family pins the
+    distributed path's overhead SHAPE — a collective-structure regression
+    shows up as t_D blowing up with D — and is pod-ready verbatim."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from diaglib_tpu import SolverOptions
+    from diaglib_tpu.parallel import VectorSharding, make_mesh
+    from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
+    from diaglib_tpu.solvers import davidson
+
+    n, n_want, n_eig = 4096, 6, 8
+    a = symm_matrix(n)
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=60, tol=1e-9)
+    g = jnp.zeros((n_eig, n), jnp.float64)
+    mv, pc = dense_matvec(a), diag_precnd(jnp.diagonal(a))
+    devices = jax.devices()
+    base = None
+    for d in (1, 2, 4, 8):
+        if d > len(devices):
+            log(f"scaling: only {len(devices)} devices, stopping at d={d}")
+            break
+        sh = VectorSharding(make_mesh(devices[:d]))
+        run = jax.jit(lambda g, k, sh=sh: davidson(mv, pc, g, opts, key=k,
+                                                   sharding=sh))
+        dt, res, ok = _steady(
+            run, lambda k: (g, k), jax.random.PRNGKey(1),
+            [jax.random.PRNGKey(2 + i) for i in range(3)])
+        base = base or dt
+        emit(f"scaling_davidson_d{d}_ms", dt * 1e3, "ms", ok=ok,
+             iters=int(res.n_iter),
+             overhead_vs_d1=round(dt / base, 3))
 
 
 SECTION_FNS = {

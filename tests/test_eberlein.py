@@ -112,3 +112,33 @@ def test_odd_dimension_padding():
     s = rng.standard_normal((L, L))
     s = s + s.T
     _check(s + 0.02 * rng.standard_normal((L, L)), atol=1e-11, n_want=L)
+
+
+@pytest.mark.parametrize("L,cluster,tol_w", [
+    (30, None, 1e-12), (30, 1e-6, 1e-12), (30, 1e-9, 5e-10),
+    (150, None, 1e-12), (150, 1e-6, 1e-12),
+])
+def test_accuracy_envelope_vs_dgeev(L, cluster, tol_w):
+    """Pin the documented accuracy envelope (DESIGN.md §6b): eigenvalues
+    match host dgeev at the 1e-13 level through L=150 with clusters to
+    1e-6 gaps, degrading gracefully (~1e-11) at 1e-9 gaps — the reduced
+    dgeev contract the f64 ladder stage leans on (diaglib.f90:2499)."""
+    import scipy.linalg
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(L), 3)
+    d = jnp.sort(jax.random.uniform(k1, (L,), jnp.float64) * 10.0)
+    if cluster is not None:
+        d = d.at[1].set(d[0] + cluster)
+        d = d.at[2].set(d[0] + 2 * cluster)
+    q, _ = jnp.linalg.qr(jax.random.normal(k2, (L, L), jnp.float64))
+    s = (q * d[None, :]) @ q.T
+    t = jax.random.normal(k3, (L, L), jnp.float64)
+    t = t * (0.01 / jnp.linalg.norm(t))
+    e = jax.scipy.linalg.expm(t)
+    em = jax.scipy.linalg.expm(-t)
+    a = em @ s @ e
+    w_ref = np.sort(scipy.linalg.eig(np.asarray(a))[0].real)
+    wr, wi, vr, vl = eberlein_eig(a)
+    assert float(jnp.max(wi)) == 0.0
+    np.testing.assert_allclose(np.sort(np.asarray(wr)), w_ref, rtol=0,
+                               atol=tol_w * max(1.0, np.abs(w_ref).max()))

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diaglib_tpu import SolverOptions
 from diaglib_tpu.ops import bsr_diagonal, bsr_matvec, bsr_to_dense, random_bsr_spd
@@ -147,7 +148,10 @@ def test_caslr_eff_ladder():
     np.testing.assert_allclose(np.asarray(res.eig[:4]), omega[:4], rtol=1e-9)
 
 
-def test_nonsym_ladder():
+@pytest.mark.parametrize("driver", ["auto", "device"])
+def test_nonsym_ladder(driver):
+    """Both reduced-eig drivers must be honored by BOTH ladder stages
+    (the driver kwarg is forwarded to the f32 and f64 passes)."""
     import scipy.linalg
 
     from diaglib_tpu.problems import dense_matvec, nonsym_matrix
@@ -166,7 +170,8 @@ def test_nonsym_ladder():
         dense_matvec(a32), dense_matvec(a32.T),
         diag_precnd(diag.astype(jnp.float32)),
         dense_matvec(a), dense_matvec(a.T), diag_precnd(diag),
-        guess, opts, side="c", key=jax.random.PRNGKey(1), lo_tol=1e-5)
+        guess, opts, side="c", key=jax.random.PRNGKey(1), lo_tol=1e-5,
+        driver=driver)
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.eig[:4]), w[:4], rtol=0,
                                atol=1e-8)
