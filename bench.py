@@ -502,9 +502,10 @@ def section_scaling():
     from diaglib_tpu.problems import dense_matvec, diag_precnd, symm_matrix
     from diaglib_tpu.solvers import davidson
 
-    n, n_want, n_eig = 4096, 6, 8
+    n, n_want, n_eig = 2048, 6, 8
     a = symm_matrix(n)
-    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=60, tol=1e-9)
+    opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-8,
+                         max_dav=10)
     g = jnp.zeros((n_eig, n), jnp.float64)
     mv, pc = dense_matvec(a), diag_precnd(jnp.diagonal(a))
     devices = jax.devices()

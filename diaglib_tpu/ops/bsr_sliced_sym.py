@@ -1,0 +1,306 @@
+"""Symmetric integer-sliced BSR operator: HALF the slice-store bandwidth.
+
+The f64-accurate sliced SpMM (ops/bsr_sliced.py) is HBM-bound on reading
+the int8 slice store.  For SYMMETRIC operators — every eigensolver target
+in this library except the nonsym driver's — each off-diagonal block pair
+(A(r,c), A(c,r) = A(r,c)^T) is stored twice there.  This module stores the
+upper triangle ONCE and computes both contributions from one read:
+
+* direct:  y_r += x_c @ T_e           (T_e = A(r,c)^T, standard dot)
+* mirror:  y_c += x_r @ T_e^T         (per-plane NT dots, same bytes)
+
+The blocker for naive sharing is the quantization grid: per-output-column
+scales (bsr_sliced.py) make the mirror contraction mix scales inside the
+int32 accumulation.  The fix is a SEPARABLE power-of-two grid
+
+    q[j, k] = T_e[j, k] / (u_{cB+j} * u_{rB+k}),
+    u_i = pow2_grid(sqrt(2 * rowmax_i)),   rowmax_i = max_j |A_ij|,
+
+which is tight for symmetric matrices (|A_jk| <= sqrt(rowmax_j rowmax_k),
+so |q| <= 1/2 with at most one bit lost), and factors the scales OUT of
+the contraction: fold u into x once per matvec (exact: u is a power of
+two) and into y once after the combine.  Both directions then accumulate
+exactly in int32 on a single shared level grid, like the nonsym kernel.
+
+Kernel shape: one grid step per stored entry; ALL contributions fold into
+one VMEM-resident (nlev*k, n) int32 accumulator (constant output index
+map — Pallas keeps the tile on chip across the whole grid and writes it
+back once), with dynamic lane offsets rows[e]*B / cols[e]*B.  This also
+removes the empty-row zeroing hazard of the tile-revisit kernels: the
+accumulator is zeroed once at step 0.
+
+VMEM bound: the resident accumulator needs nlev*k*n*4 bytes (37 MB at the
+flagship n=65536, k=16), plus the x slices and double-buffered entry
+blocks — configurations beyond the budget must use the general
+(unsymmetric-storage) operator instead; the builder/matvec guard this.
+
+Reference mapping: same matvec callback contract as everywhere
+(README.md:30-44, diaglib.f90:62-72); the symmetric-storage SpMM is a new
+TPU-native component with no reference counterpart (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bsr import BSRMatrix, bsr_diagonal
+from .bsr_sliced import _BITS, _VMEM_BUDGET, _slice_x
+from .slicing import combine_weights, pow2_grid, slice_scaled
+
+__all__ = ["SymSlicedBSR", "slice_bsr_sym", "sym_sliced_matvec"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SymSlicedBSR:
+    """Upper-triangle int8 slice store of a SYMMETRIC BSR operator.
+
+    slices:   (nnzb_s, B, na*B) int8 — stored entries are the block
+              diagonal plus the upper triangle (r <= c), row-sorted;
+              entry e holds the na slice planes of
+              T_e = A(r_e, c_e)^T / (u_c ⊗ u_r) side by side.
+    u_scale:  (n,) f64 separable power-of-two grid (see module docstring).
+    diagonal: (n,) f64 main diagonal of A (for preconditioners).
+    rows/cols: (nnzb_s,) int32 block coordinates of stored entries.
+    """
+
+    slices: jax.Array
+    u_scale: jax.Array
+    diagonal: jax.Array
+    rows: jax.Array
+    cols: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+    na: int = dataclasses.field(metadata=dict(static=True))
+    max_row_terms: int = dataclasses.field(default=0,
+                                           metadata=dict(static=True))
+
+    @property
+    def nnzb_stored(self) -> int:
+        return self.slices.shape[0]
+
+    @property
+    def nnz(self) -> int:
+        """LOGICAL nonzeros of the symmetric operator (both triangles)."""
+        n_diag = int(jnp.sum(self.rows == self.cols))
+        n_off = self.nnzb_stored - n_diag
+        return (n_diag + 2 * n_off) * self.block * self.block
+
+
+def slice_bsr_sym(m: BSRMatrix, na: int | None = None,
+                  chunk: int = 256) -> SymSlicedBSR:
+    """Build the symmetric slice store from a SYMMETRIC BSRMatrix.
+
+    The matrix must be symmetric both in pattern and values (A = A^T) —
+    callers' responsibility (random_bsr_spd and the Casida/gen builders
+    construct exactly symmetric operators); only the r <= c entries are
+    read.  ``na`` defaults to 8 (7*8-1 = 55 mantissa bits below the
+    separable grid, >= f64's 53).
+    """
+    if na is None:
+        na = 8
+    B = m.block
+    nbr = m.n // B
+
+    # rowmax over the FULL symmetric matrix: stored blocks_t[e] = A(r,c)^T
+    # covers rows of block r along axis 1 (max over axis (1,) after the
+    # transpose convention: T_e[j, k] = A[rB+k, cB+j])
+    rmax_r = jnp.max(jnp.abs(m.blocks_t), axis=1)   # (nnzb, B) rows of r
+    rmax_c = jnp.max(jnp.abs(m.blocks_t), axis=2)   # (nnzb, B) rows of c
+    rowmax = jnp.zeros((nbr, B), jnp.float64)
+    rowmax = rowmax.at[m.rows].max(rmax_r.astype(jnp.float64))
+    rowmax = rowmax.at[m.cols].max(rmax_c.astype(jnp.float64))
+    u = pow2_grid(jnp.sqrt(2.0 * rowmax.reshape(-1)))          # (n,)
+
+    keep = jnp.asarray(m.rows <= m.cols)
+    idx = jnp.nonzero(keep)[0]
+    rows = m.rows[idx]
+    cols = m.cols[idx]
+    n_diag = int(jnp.sum(rows == cols))
+    n_off = rows.shape[0] - n_diag
+    # int32 exactness guard: per-level products |q_x q_a| <= 2^{2(_BITS-1)}
+    # summed over B * (terms per output row) * pairs; each output row
+    # receives direct terms from its row's stored entries and mirror terms
+    # from its column's
+    terms = jnp.zeros((nbr,), jnp.int32)
+    terms = terms.at[rows].add(1).at[cols].add(
+        jnp.where(rows != cols, 1, 0))
+    max_terms = int(jnp.max(terms))
+    if (2 * (_BITS - 1)
+            + math.ceil(math.log2(B * max_terms * min(na, 8)))) > 31:
+        raise ValueError(
+            f"block {B} x {max_terms} terms/row overflows exact int32 "
+            "accumulation")
+
+    u2 = u.reshape(nbr, B)
+
+    @jax.jit
+    def build(blocks_t, rows, cols, u2):
+        nnzb = blocks_t.shape[0]
+        nchunk = -(-nnzb // chunk)
+        pad = nchunk * chunk - nnzb
+        bt = jnp.pad(blocks_t, ((0, pad), (0, 0), (0, 0)))
+        rr = jnp.pad(rows, (0, pad))
+        cc = jnp.pad(cols, (0, pad))
+
+        def body(_, ch):
+            blk, r, c = ch
+            # T_e[j, k] = A[rB+k, cB+j] -> grid u_c[j] * u_r[k]
+            t = (blk.astype(jnp.float64)
+                 / u2[c][:, :, None] / u2[r][:, None, :])
+            sl = slice_scaled(t, n_slices=na, bits=_BITS)  # (na, c, B, B)
+            return None, jnp.concatenate(list(sl), axis=-1)
+
+        _, out = jax.lax.scan(
+            body, None,
+            (bt.reshape(nchunk, chunk, B, B), rr.reshape(nchunk, chunk),
+             cc.reshape(nchunk, chunk)))
+        return out.reshape(nchunk * chunk, B, na * B)[:nnzb]
+
+    return SymSlicedBSR(
+        slices=build(m.blocks_t[idx], rows, cols, u2),
+        u_scale=u,
+        diagonal=bsr_diagonal(m).astype(jnp.float64),
+        rows=rows,
+        cols=cols,
+        n=m.n,
+        block=B,
+        na=na,
+        max_row_terms=max_terms,
+    )
+
+
+def _sym_kernel(nx: int, na: int, nlev: int, k: int, B: int):
+    """One VMEM-resident accumulator; direct + mirror folds per entry."""
+
+    def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
+        e = pl.program_id(0)
+
+        @pl.when(e == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        r = rows_ref[e]
+        c = cols_ref[e]
+        blk = blk_ref[0]                                     # (B, na*B)
+
+        # direct: y_r += x_c @ T_e  (one standard int8 dot, banded fold)
+        xb_c = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]  # (nx*k, B)
+        prod = jax.lax.dot_general(
+            xb_c, blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)                # (nx*k, na*B)
+        for i in range(na):
+            nxi = min(nx, nlev - i)
+            if nxi <= 0:
+                continue
+            acc_ref[i * k:(i + nxi) * k,
+                    pl.ds(pl.multiple_of(r * B, B), B)] += (
+                prod[0:nxi * k, i * B:(i + 1) * B])
+
+        # mirror: y_c += x_r @ T_e^T (per-plane NT dots; skipped on the
+        # diagonal, where the mirror IS the direct contribution)
+        @pl.when(r != c)
+        def _():
+            xb_r = xs_ref[:, pl.ds(pl.multiple_of(r * B, B), B)]
+            for i in range(na):
+                nxi = min(nx, nlev - i)
+                if nxi <= 0:
+                    continue
+                prod2 = jax.lax.dot_general(
+                    xb_r[0:nxi * k, :], blk[:, i * B:(i + 1) * B],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)        # (nxi*k, B)
+                acc_ref[i * k:(i + nxi) * k,
+                        pl.ds(pl.multiple_of(c * B, B), B)] += prod2
+
+    return kern
+
+
+def _sym_tier(m_na: int, dtype, nx, nlev):
+    if dtype == jnp.float64:
+        nx = 8 if nx is None else nx
+        na_used = m_na
+        nlev = min(na_used + nx - 1, 9) if nlev is None else nlev
+    else:
+        nx = 4 if nx is None else nx
+        na_used = min(m_na, 4)
+        nlev = min(4, na_used + nx - 1) if nlev is None else nlev
+    return nx, na_used, nlev
+
+
+def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
+                      nx: int | None = None, nlev: int | None = None,
+                      interpret: bool = False):
+    """Matvec closure ``x: (k, n) -> (k, n)`` over the symmetric store."""
+    nx, na_used, nlev = _sym_tier(m.na, dtype, nx, nlev)
+    if m.max_row_terms:
+        pairs = min(nx, na_used)
+        if (2 * (_BITS - 1) + math.ceil(
+                math.log2(m.block * m.max_row_terms * pairs))) > 31:
+            raise ValueError("tier overflows exact int32 accumulation")
+    w = combine_weights(nlev, _BITS,
+                        jnp.float64 if dtype == jnp.float64 else jnp.float32)
+    acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    B = m.block
+    n = m.n
+
+    def mv(x):
+        k = x.shape[0]
+        resident = (nlev * k * n * 4          # accumulator (int32)
+                    + nx * k * n              # x slices (int8)
+                    + 2 * B * na_used * B)    # double-buffered entry
+        if resident > _VMEM_BUDGET + 28 * 1024 * 1024:
+            raise ValueError(
+                f"symmetric kernel needs {resident >> 20} MB VMEM resident "
+                f"at (k={k}, n={n}); use the general sliced operator "
+                "(ops/bsr_sliced.py) for this configuration")
+        # fold the separable grid into x (exact power-of-two multiply)
+        xu = x.astype(acc_dtype) * m.u_scale.astype(acc_dtype)[None, :]
+        xs, sx = _slice_x(
+            xu.astype(jnp.float64) if dtype == jnp.float64
+            else xu.astype(jnp.float32), nx)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(m.nnzb_stored,),
+            in_specs=[
+                pl.BlockSpec((nx * k, n),
+                             lambda e, rows, cols: (e * 0, e * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, na_used * B),
+                             lambda e, rows, cols: (e, e * 0, e * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nlev * k, n),
+                                   lambda e, rows, cols: (e * 0, e * 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        p = pl.pallas_call(
+            _sym_kernel(nx, na_used, nlev, k, B),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=resident + 24 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * m.nnzb_stored * nx * k * B * na_used * B,
+                bytes_accessed=m.nnzb_stored * B * na_used * B
+                + nlev * k * n * 4,
+                transcendentals=0,
+            ),
+        )(m.rows, m.cols, xs, m.slices)
+        lv = p.reshape(nlev, k, n)
+        # unrolled combine, deepest level first (see bsr_sliced.py: a
+        # tensordot here lowers to the slow emulated-f64 dot)
+        y = jnp.zeros((k, n), acc_dtype)
+        for lev in range(nlev - 1, -1, -1):
+            y = y + lv[lev].astype(acc_dtype) * w[lev]
+        y = y * sx.astype(acc_dtype) * m.u_scale[None, :].astype(acc_dtype)
+        return y.astype(dtype)
+
+    return mv
