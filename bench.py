@@ -175,6 +175,38 @@ def section_spmm():
         dt = (time.time() - t0) / rep_t
         emit(tag, ms.nnz / 1e9 / dt, "Gnnz/s",
              ms_per_matvec=round(dt * 1e3, 2))
+    del ms
+
+    # symmetric half-bandwidth store at the FLAGSHIP geometry (n=65536,
+    # bpr=8, 503M logical nnz): the production f64 matvec
+    from diaglib_tpu.ops.bsr_sliced_sym import (
+        slice_bsr_sym,
+        sym_sliced_matvec,
+    )
+    n2, bpr2 = 65536, 8
+    m2 = random_bsr_spd(n2, B, bpr2, jax.random.PRNGKey(0),
+                        dtype=jnp.float32)
+    sym = slice_bsr_sym(m2)
+    del m2
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (k, n2), jnp.float64)
+    for tag, dtype, xx, rep_t in (
+            ("spmm_sym_f64_gnnzps", jnp.float64, x2, 25),
+            ("spmm_sym_f32_gnnzps", jnp.float32,
+             x2.astype(jnp.float32), 25)):
+        @jax.jit
+        def many_s(sym, x):
+            def body(i, acc):
+                return sym_sliced_matvec(sym, dtype=dtype)(acc) * 1e-3
+            return jax.lax.fori_loop(0, rep_t, body, x)
+
+        y = many_s(sym, xx)
+        _ = float(y[0, 0])
+        t0 = time.time()
+        y = many_s(sym, xx)
+        _ = float(y[0, 0])
+        dt = (time.time() - t0) / rep_t
+        emit(tag, sym.nnz / 1e9 / dt, "Gnnz/s",
+             ms_per_matvec=round(dt * 1e3, 2))
 
 
 def section_flagship():
@@ -186,14 +218,17 @@ def section_flagship():
 
     from diaglib_tpu import SolverOptions
     from diaglib_tpu.ops import random_bsr_spd
-    from diaglib_tpu.ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
+    from diaglib_tpu.ops.bsr_sliced_sym import (
+        slice_bsr_sym,
+        sym_sliced_matvec as sliced_bsr_matvec,
+    )
     from diaglib_tpu.problems import diag_precnd
     from diaglib_tpu.solvers import davidson_ladder, lobpcg_ladder
 
     n, B, bpr = 65536, 512, 8
     n_want, n_eig = 10, 15
     m32 = random_bsr_spd(n, B, bpr, jax.random.PRNGKey(0), dtype=jnp.float32)
-    ms = slice_bsr(m32)
+    ms = slice_bsr_sym(m32)  # symmetric half-bandwidth store
     del m32
     opts = SolverOptions(n_targ=n_want, n_max=n_eig, max_iter=150, tol=1e-10,
                          max_dav=10)
@@ -452,7 +487,9 @@ def section_gen_flagship():
     import jax.numpy as jnp
 
     from diaglib_tpu import SolverOptions
-    from diaglib_tpu.ops.bsr_sliced import sliced_bsr_matvec
+    from diaglib_tpu.ops.bsr_sliced_sym import (
+        sliced_matvec_any as sliced_bsr_matvec,
+    )
     from diaglib_tpu.problems import bsr_gen_problem, diag_precnd
     from diaglib_tpu.solvers import gen_david_ladder
 

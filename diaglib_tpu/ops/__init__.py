@@ -9,6 +9,12 @@ from .bsr import (
     random_bsr_spd,
 )
 from .bsr_sliced import SlicedBSR, slice_bsr, sliced_bsr_matvec
+from .bsr_sliced_sym import (
+    SymSlicedBSR,
+    slice_bsr_sym,
+    sliced_matvec_any,
+    sym_sliced_matvec,
+)
 from .dist_bsr import DistBSRMatrix, dist_bsr_matvec, distribute_bsr
 from .dist_sliced import (
     DistSlicedBSR,
@@ -47,6 +53,10 @@ __all__ = [
     "SlicedBSR",
     "slice_bsr",
     "sliced_bsr_matvec",
+    "SymSlicedBSR",
+    "slice_bsr_sym",
+    "sliced_matvec_any",
+    "sym_sliced_matvec",
     "sliced_mm",
     "sliced_mmT",
     "sliced_mTm",

@@ -264,16 +264,81 @@ def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
     return p, sx
 
 
-def _slice_x(x, nx):
+def _peel_kernel(nx: int, k: int, bits: int):
+    """One-pass slice peel (the hot serial part of operand slicing).
+
+    The XLA expression of the peel chain materializes every intermediate
+    remainder (measured 1-2.5 ms per matvec at the flagship size — a third
+    of the whole f64 matvec); this kernel runs the whole chain on
+    registers in one pass over x."""
+    import numpy as np
+
+    def kern(hi_ref, mid_ref, lo_ref, o_ref):
+        rem_hi = hi_ref[:, :]
+        rem_mid = mid_ref[:, :]
+        rem_lo = lo_ref[:, :]
+        for i in range(nx):
+            w = np.float32(2.0 ** (-bits * (i + 1)))
+            inv = np.float32(2.0 ** (bits * (i + 1)))
+            q = jnp.round(rem_hi * inv)
+            rem_hi = rem_hi - q * w
+            if bits * (i + 1) >= 24:  # see slicing.slice_scaled
+                q2 = jnp.round(rem_mid * inv)
+                rem_mid = rem_mid - q2 * w
+                q = q + q2
+            if bits * (i + 1) >= 48:
+                q3 = jnp.round(rem_lo * inv)
+                rem_lo = rem_lo - q3 * w
+                q = q + q3
+            o_ref[i * k:(i + 1) * k, :] = q.astype(jnp.int8)
+
+    return kern
+
+
+_PEEL_TILE = 2048
+
+
+def _slice_x(x, nx, interpret: bool = False):
     """Row-aligned int8 slices of x, stacked along the sublane axis.
 
     Uses the same half power-of-two grid as the operand store (bits >= 7
-    forces it inside slice_operand), so |q| <= 64 on both sides."""
-    from .slicing import slice_operand
+    forces it inside slice_operand), so |q| <= 64 on both sides.  On TPU
+    the peel chain runs as a one-pass Pallas kernel (bit-identical to the
+    XLA path used elsewhere); the f64 -> (hi, mid, lo) f32 split stays in
+    XLA (Mosaic has no f64)."""
+    from .slicing import pow2_grid, slice_operand
     k, n = x.shape
-    sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
-                           axis=-1, n_slices=nx, bits=_BITS)
-    return sl.reshape(nx * k, n), sx
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if not on_tpu or n % _PEEL_TILE:
+        sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
+                               axis=-1, n_slices=nx, bits=_BITS)
+        return sl.reshape(nx * k, n), sx
+
+    work = x.astype(jnp.float64) if nx > 4 else x
+    sx = 2.0 * pow2_grid(
+        jnp.max(jnp.abs(work), axis=-1, keepdims=True))
+    t = work * (1.0 / sx)  # exact: power-of-two scale
+    hi = t.astype(jnp.float32)
+    if t.dtype == jnp.float64:
+        # emulated-f64 elementwise passes dominate the slice cost — reuse
+        # the first difference instead of recomputing t - hi twice
+        d = t - hi.astype(jnp.float64)
+        mid = d.astype(jnp.float32)
+        lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        mid = jnp.zeros_like(hi)
+        lo = jnp.zeros_like(hi)
+    out = pl.pallas_call(
+        _peel_kernel(nx, k, _BITS),
+        grid=(n // _PEEL_TILE,),
+        in_specs=[pl.BlockSpec((k, _PEEL_TILE),
+                               lambda i: (i * 0, i))] * 3,
+        out_specs=pl.BlockSpec((nx * k, _PEEL_TILE),
+                               lambda i: (i * 0, i)),
+        out_shape=jax.ShapeDtypeStruct((nx * k, n), jnp.int8),
+        interpret=interpret,
+    )(hi, mid, lo)
+    return out, sx.astype(x.dtype) if x.dtype != jnp.float64 else sx
 
 
 def _tier_params(m_na: int, dtype, nx: int | None, nlev: int | None):
@@ -323,17 +388,21 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
         k, n = x.shape
         p, sx = _sliced_spmm(m, x, nx=nx, nlev=nlev, na_used=na_used,
                              interpret=interpret)
-        lv = p.reshape(nlev, k, n)
-        # UNROLLED level combine, deepest (smallest) level first.  A
-        # jnp.tensordot over the tiny nlev axis looks equivalent but XLA
-        # lowers it to an emulated-f64 *dot* costing ~6.5 ms/matvec at the
-        # flagship size — half the total — while the unrolled axpy chain
-        # fuses into the cast for free (int32 -> f64 exact, power-of-two
-        # weights exact; only the final f64 adds round, smallest first).
-        y = jnp.zeros((k, n), acc_dtype)
-        for lev in range(nlev - 1, -1, -1):
-            y = y + lv[lev].astype(acc_dtype) * w[lev]
+        y = _combine_levels(p, w, nlev, k, n, acc_dtype)
         y = y * sx.astype(acc_dtype) * m.col_scale[None, :].astype(acc_dtype)
         return y.astype(dtype)
 
     return mv
+
+
+def _combine_levels(p, w, nlev, k, n, acc_dtype):
+    """Weighted level combine of the kernel's int32 sums.
+
+    Expressed as a broadcast-multiply + sum REDUCE over the level axis: a
+    jnp.tensordot here lowers to the emulated-f64 *dot* (~6.5 ms/matvec
+    at flagship size), while the reduce lowers to a fused loop (~1.1 ms,
+    also beating the unrolled axpy chain's 1.35).  int32 -> f64 is exact
+    and the weights are powers of two, so the only rounding is the f64
+    summation itself."""
+    lv = p.reshape(nlev, k, n).astype(acc_dtype)
+    return jnp.sum(lv * w[:, None, None].astype(acc_dtype), axis=0)

@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .bsr import BSRMatrix, bsr_diagonal
-from .bsr_sliced import _BITS, _VMEM_BUDGET, _slice_x
+from .bsr_sliced import _BITS, _VMEM_BUDGET, _combine_levels, _slice_x
 from .slicing import combine_weights, pow2_grid, slice_scaled
 
 __all__ = ["SymSlicedBSR", "slice_bsr_sym", "sym_sliced_matvec"]
@@ -264,7 +264,7 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
         xu = x.astype(acc_dtype) * m.u_scale.astype(acc_dtype)[None, :]
         xs, sx = _slice_x(
             xu.astype(jnp.float64) if dtype == jnp.float64
-            else xu.astype(jnp.float32), nx)
+            else xu.astype(jnp.float32), nx, interpret=interpret)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(m.nnzb_stored,),
@@ -294,13 +294,24 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
                 transcendentals=0,
             ),
         )(m.rows, m.cols, xs, m.slices)
-        lv = p.reshape(nlev, k, n)
-        # unrolled combine, deepest level first (see bsr_sliced.py: a
-        # tensordot here lowers to the slow emulated-f64 dot)
-        y = jnp.zeros((k, n), acc_dtype)
-        for lev in range(nlev - 1, -1, -1):
-            y = y + lv[lev].astype(acc_dtype) * w[lev]
+        y = _combine_levels(p, w, nlev, k, n, acc_dtype)
         y = y * sx.astype(acc_dtype) * m.u_scale[None, :].astype(acc_dtype)
         return y.astype(dtype)
 
     return mv
+
+
+def sliced_matvec_any(store, *, dtype=jnp.float64, nx=None, nlev=None,
+                      interpret: bool = False):
+    """Tier matvec closure for either sliced-store flavor.
+
+    Dispatches on the store type: :class:`SymSlicedBSR` (half-bandwidth
+    symmetric kernel) or the general
+    :class:`~diaglib_tpu.ops.bsr_sliced.SlicedBSR`."""
+    from .bsr_sliced import sliced_bsr_matvec
+
+    if isinstance(store, SymSlicedBSR):
+        return sym_sliced_matvec(store, dtype=dtype, nx=nx, nlev=nlev,
+                                 interpret=interpret)
+    return sliced_bsr_matvec(store, dtype=dtype, nx=nx, nlev=nlev,
+                             interpret=interpret)

@@ -225,14 +225,11 @@ def dist_sliced_matvec(dm: DistSlicedBSR, sharding, *, dtype=jnp.float64,
             # mask by row coverage before accumulating
             covered = jnp.zeros((nbr_loc + 1,), jnp.int32).at[lr].set(1)
             p = p.reshape(nlev * k, nbr_loc + 1, B) * covered[None, :, None]
+            from .bsr_sliced import _combine_levels
             lv = p.reshape(nlev * k, (nbr_loc + 1) * B)[:, :n_loc]
-            lv = lv.reshape(nlev, k, n_loc)
-            # unrolled level combine, deepest first — a tensordot here
-            # lowers to an emulated-f64 dot costing ~half the matvec
-            # (see ops/bsr_sliced.py sliced_bsr_matvec)
-            g = jnp.zeros((k, n_loc), acc_dtype)
-            for lev in range(nlev - 1, -1, -1):
-                g = g + lv[lev].astype(acc_dtype) * w[lev]
+            # sum-reduce combine (see bsr_sliced._combine_levels; a
+            # tensordot here lowers to the slow emulated-f64 dot)
+            g = _combine_levels(lv, w, nlev, k, n_loc, acc_dtype)
             y = y + g * sx.astype(acc_dtype)
         return (y * cs_loc[None, :].astype(acc_dtype)).astype(dtype)
 

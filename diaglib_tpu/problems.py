@@ -207,18 +207,22 @@ def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
     diagonal, and the two underlying SlicedBSR operators (oracles/tests).
     """
     from .ops.bsr import random_bsr_spd
-    from .ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
+    from .ops.bsr_sliced_sym import slice_bsr_sym
     from .types import LROps
 
     # A+B and A-B share the diagonal (and its separated low modes) and
     # differ in off-diagonal strength: with independent operators the low
     # modes land on different rows and the product spectrum w^2 ~
     # eig(A+B) eig(A-B) has no diagonal-resolvable low excitations — the
-    # paired diagonal preconditioner then stalls (observed at n=65536)
-    apb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, key,
-                                   dtype=jnp.float32, off_scale=0.3), na=na)
-    amb = slice_bsr(random_bsr_spd(n, block, blocks_per_row, key,
-                                   dtype=jnp.float32, off_scale=0.15), na=na)
+    # paired diagonal preconditioner then stalls (observed at n=65536).
+    # Both are symmetric: the half-bandwidth symmetric store applies
+    # (ops/bsr_sliced_sym.py).
+    apb = slice_bsr_sym(random_bsr_spd(n, block, blocks_per_row, key,
+                                       dtype=jnp.float32, off_scale=0.3),
+                        na=na)
+    amb = slice_bsr_sym(random_bsr_spd(n, block, blocks_per_row, key,
+                                       dtype=jnp.float32, off_scale=0.15),
+                        na=na)
     ops_lo, ops_hi = casida_tdscf_ops(apb, amb, interpret=interpret)
     diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
     return ops_lo, ops_hi, diag_aa, (apb, amb)
@@ -228,24 +232,25 @@ def casida_tdscf_ops(apb, amb, interpret: bool = False):
     """(ops_lo, ops_hi) LROps tiers over existing sliced (A+B)/(A-B) stores.
 
     Jit-traceable: call INSIDE a jitted function whose arguments are the
-    two SlicedBSR pytrees — closing over multi-GB operators instead bakes
-    them into the program as constants (DESIGN.md §6)."""
-    from .ops.bsr_sliced import sliced_bsr_matvec
+    two sliced-store pytrees (either flavor) — closing over multi-GB
+    operators instead bakes them into the program as constants
+    (DESIGN.md §6)."""
+    from .ops.bsr_sliced_sym import sliced_matvec_any
     from .types import LROps
 
     n = apb.n
     diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
     ident = lambda x: x  # noqa: E731 — sigma = I, delta = 0 (tdscf)
     ops_hi = LROps(
-        apbmul=sliced_bsr_matvec(apb, interpret=interpret),
-        ambmul=sliced_bsr_matvec(amb, interpret=interpret),
+        apbmul=sliced_matvec_any(apb, interpret=interpret),
+        ambmul=sliced_matvec_any(amb, interpret=interpret),
         spdmul=ident, smdmul=ident,
         lrprec=lrprec_eff(diag_aa, jnp.ones((n,), jnp.float64)),
     )
     f32 = jnp.float32
     ops_lo = LROps(
-        apbmul=sliced_bsr_matvec(apb, dtype=f32, interpret=interpret),
-        ambmul=sliced_bsr_matvec(amb, dtype=f32, interpret=interpret),
+        apbmul=sliced_matvec_any(apb, dtype=f32, interpret=interpret),
+        ambmul=sliced_matvec_any(amb, dtype=f32, interpret=interpret),
         spdmul=ident, smdmul=ident,
         lrprec=lrprec_eff(diag_aa.astype(f32), jnp.ones((n,), f32)),
     )
@@ -332,10 +337,12 @@ def bsr_nonsym_similarity(n: int, block: int, blocks_per_row: int, key,
     """
     from .ops.bsr import random_bsr_spd
     from .ops.bsr_sliced import slice_bsr
+    from .ops.bsr_sliced_sym import slice_bsr_sym
 
     ks, kt = jax.random.split(key)
-    s = slice_bsr(random_bsr_spd(n, block, blocks_per_row, ks,
-                                 dtype=jnp.float32), na=na)
+    # S is symmetric -> half-bandwidth symmetric store; T is not
+    s = slice_bsr_sym(random_bsr_spd(n, block, blocks_per_row, ks,
+                                     dtype=jnp.float32), na=na)
     t = _band_bsr(n, block, kt, t_scale)
     tt = _bsr_transpose_band(t)
     st, stt = slice_bsr(t, na=na), slice_bsr(tt, na=na)
@@ -352,9 +359,10 @@ def nonsym_similarity_ops(stores, dtype=jnp.float64, terms: int = 4,
     ||T||^5/120 ~ 1e-19 for ||T|| = 0.01.
     """
     from .ops.bsr_sliced import sliced_bsr_matvec
+    from .ops.bsr_sliced_sym import sliced_matvec_any
 
     s, st, stt = stores
-    smv = sliced_bsr_matvec(s, dtype=dtype, interpret=interpret)
+    smv = sliced_matvec_any(s, dtype=dtype, interpret=interpret)
     tmv = sliced_bsr_matvec(st, dtype=dtype, interpret=interpret)
     ttmv = sliced_bsr_matvec(stt, dtype=dtype, interpret=interpret)
 
@@ -390,12 +398,12 @@ def bsr_gen_problem(n: int, block: int, blocks_per_row: int, key,
     ``sliced_bsr_matvec(a, dtype=...)``.
     """
     from .ops.bsr import random_bsr_spd
-    from .ops.bsr_sliced import slice_bsr
+    from .ops.bsr_sliced_sym import slice_bsr_sym
 
     ka, kb = jax.random.split(key, 2)
-    a = slice_bsr(random_bsr_spd(n, block, blocks_per_row, ka,
-                                 dtype=jnp.float32), na=na)
-    b = slice_bsr(random_bsr_spd(n, block, metric_blocks_per_row, kb,
-                                 dtype=jnp.float32, off_scale=0.1,
-                                 n_low_modes=0), na=na)
+    a = slice_bsr_sym(random_bsr_spd(n, block, blocks_per_row, ka,
+                                     dtype=jnp.float32), na=na)
+    b = slice_bsr_sym(random_bsr_spd(n, block, metric_blocks_per_row, kb,
+                                     dtype=jnp.float32, off_scale=0.1,
+                                     n_low_modes=0), na=na)
     return a, b

@@ -1,0 +1,107 @@
+"""Symmetric sliced-BSR operator tests (ops/bsr_sliced_sym.py).
+
+The symmetric store keeps only the upper triangle on a separable
+power-of-two grid; both the direct and mirrored products must reproduce
+the dense f64 oracle to slice-truncation accuracy, for every tier.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diaglib_tpu import SolverOptions
+from diaglib_tpu.ops.bsr import bsr_to_dense, random_bsr_spd
+from diaglib_tpu.ops.bsr_sliced_sym import slice_bsr_sym, sym_sliced_matvec
+from diaglib_tpu.problems import diag_precnd
+from diaglib_tpu.solvers import davidson
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _problem(n=256, B=64, bpr=3, dtype=jnp.float32):
+    m = random_bsr_spd(n, B, bpr, KEY, dtype=dtype)
+    dense = np.asarray(bsr_to_dense(m), np.float64)
+    assert np.array_equal(dense, dense.T)  # exact symmetry (builder)
+    return m, slice_bsr_sym(m), dense
+
+
+def test_sym_f64_tier_matches_dense():
+    _, sm, dense = _problem()
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 256), jnp.float64)
+    y = sym_sliced_matvec(sm, interpret=True)(x)
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               atol=1e-14 * np.max(np.abs(ref)))
+    assert y.dtype == jnp.float64
+
+
+def test_sym_f32_tier():
+    _, sm, dense = _problem()
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 256), jnp.float32)
+    y = sym_sliced_matvec(sm, dtype=jnp.float32, interpret=True)(x)
+    ref = np.asarray(x, np.float64) @ dense.T
+    rel = np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+    assert y.dtype == jnp.float32
+    assert rel < 2.0 ** (-17)
+
+
+def test_sym_matches_general_sliced():
+    """Symmetric store and general store are different quantization grids
+    but both exact: their f64 tiers agree to ~1e-16 relative."""
+    from diaglib_tpu.ops.bsr_sliced import slice_bsr, sliced_bsr_matvec
+
+    m, sm, dense = _problem()
+    gm = slice_bsr(m)
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 256), jnp.float64)
+    y_sym = sym_sliced_matvec(sm, interpret=True)(x)
+    y_gen = sliced_bsr_matvec(gm, interpret=True)(x)
+    scale = np.max(np.abs(np.asarray(y_gen)))
+    np.testing.assert_allclose(np.asarray(y_sym), np.asarray(y_gen),
+                               atol=2e-15 * scale)
+
+
+def test_sym_f64_source():
+    m, _, _ = _problem()
+    m64 = dataclasses.replace(m, blocks_t=m.blocks_t.astype(jnp.float64))
+    sm = slice_bsr_sym(m64)
+    dense = np.asarray(bsr_to_dense(m64), np.float64)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 256), jnp.float64)
+    y = sym_sliced_matvec(sm, interpret=True)(x)
+    ref = np.asarray(x) @ dense.T
+    np.testing.assert_allclose(np.asarray(y), ref,
+                               atol=1e-14 * np.max(np.abs(ref)))
+
+
+def test_sym_diagonal_and_nnz():
+    m, sm, dense = _problem()
+    np.testing.assert_allclose(np.asarray(sm.diagonal), np.diagonal(dense),
+                               atol=0)
+    assert sm.nnz == m.nnz  # logical nonzeros count both triangles
+    assert sm.nnzb_stored < m.nnzb  # but the store is the triangle only
+
+
+def test_sym_davidson_end_to_end():
+    _, sm, dense = _problem()
+    w_ref = np.linalg.eigh(dense)[0]
+    opts = SolverOptions(n_targ=3, n_max=6, max_iter=120, tol=1e-9,
+                         max_dav=10)
+    res = davidson(sym_sliced_matvec(sm, interpret=True),
+                   diag_precnd(sm.diagonal),
+                   jnp.zeros((6, 256), jnp.float64), opts,
+                   key=jax.random.PRNGKey(7))
+    assert bool(res.ok)
+    np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
+                               rtol=0, atol=1e-8 * max(1.0, abs(w_ref[0])))
+
+
+def test_sym_vmem_guard():
+    """Configurations whose resident accumulator exceeds VMEM must raise
+    with a pointer to the general operator."""
+    _, sm, _ = _problem()
+    mv = sym_sliced_matvec(sm, interpret=True)
+    big = jnp.zeros((32768, 256), jnp.float64)  # k huge -> accumulator huge
+    with pytest.raises(ValueError, match="general sliced operator"):
+        mv(big)
