@@ -197,8 +197,8 @@ def test_caslr_eff_ladder_sliced_bsr():
 
     def dense_of(ms):
         # reconstruct the f64 operator the slices represent via matvec rows
-        from diaglib_tpu.ops.bsr_sliced import sliced_bsr_matvec
-        mv = sliced_bsr_matvec(ms, interpret=True)
+        from diaglib_tpu.ops.bsr_sliced_sym import sliced_matvec_any
+        mv = sliced_matvec_any(ms, interpret=True)
         return np.asarray(mv(jnp.eye(n, dtype=jnp.float64))).T
 
     apb = dense_of(apb_s)
