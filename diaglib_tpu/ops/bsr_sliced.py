@@ -264,49 +264,16 @@ def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
     return p, sx
 
 
-def _peel_kernel(nx: int, k: int, bits: int):
-    """One-pass slice peel (the hot serial part of operand slicing).
-
-    The XLA expression of the peel chain materializes every intermediate
-    remainder (measured 1-2.5 ms per matvec at the flagship size — a third
-    of the whole f64 matvec); this kernel runs the whole chain on
-    registers in one pass over x."""
-    import numpy as np
-
-    def kern(hi_ref, mid_ref, lo_ref, o_ref):
-        rem_hi = hi_ref[:, :]
-        rem_mid = mid_ref[:, :]
-        rem_lo = lo_ref[:, :]
-        for i in range(nx):
-            w = np.float32(2.0 ** (-bits * (i + 1)))
-            inv = np.float32(2.0 ** (bits * (i + 1)))
-            q = jnp.round(rem_hi * inv)
-            rem_hi = rem_hi - q * w
-            if bits * (i + 1) >= 24:  # see slicing.slice_scaled
-                q2 = jnp.round(rem_mid * inv)
-                rem_mid = rem_mid - q2 * w
-                q = q + q2
-            if bits * (i + 1) >= 48:
-                q3 = jnp.round(rem_lo * inv)
-                rem_lo = rem_lo - q3 * w
-                q = q + q3
-            o_ref[i * k:(i + 1) * k, :] = q.astype(jnp.int8)
-
-    return kern
-
-
-_PEEL_TILE = 2048
-
-
 def _slice_x(x, nx, interpret: bool = False):
     """Row-aligned int8 slices of x, stacked along the sublane axis.
 
     Uses the same half power-of-two grid as the operand store (bits >= 7
     forces it inside slice_operand), so |q| <= 64 on both sides.  On TPU
-    the peel chain runs as a one-pass Pallas kernel (bit-identical to the
-    XLA path used elsewhere); the f64 -> (hi, mid, lo) f32 split stays in
-    XLA (Mosaic has no f64)."""
-    from .slicing import pow2_grid, slice_operand
+    the peel chain runs as a one-pass Pallas kernel (slicing.
+    _peel_rows_pallas, bit-identical to the XLA path); the f64 ->
+    (hi, mid, lo) f32 split stays in XLA (Mosaic has no f64)."""
+    from .slicing import _PEEL_TILE, _peel_rows_pallas, pow2_grid, \
+        slice_operand
     k, n = x.shape
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not on_tpu or n % _PEEL_TILE:
@@ -318,27 +285,9 @@ def _slice_x(x, nx, interpret: bool = False):
     sx = 2.0 * pow2_grid(
         jnp.max(jnp.abs(work), axis=-1, keepdims=True))
     t = work * (1.0 / sx)  # exact: power-of-two scale
-    hi = t.astype(jnp.float32)
-    if t.dtype == jnp.float64:
-        # emulated-f64 elementwise passes dominate the slice cost — reuse
-        # the first difference instead of recomputing t - hi twice
-        d = t - hi.astype(jnp.float64)
-        mid = d.astype(jnp.float32)
-        lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
-    else:
-        mid = jnp.zeros_like(hi)
-        lo = jnp.zeros_like(hi)
-    out = pl.pallas_call(
-        _peel_kernel(nx, k, _BITS),
-        grid=(n // _PEEL_TILE,),
-        in_specs=[pl.BlockSpec((k, _PEEL_TILE),
-                               lambda i: (i * 0, i))] * 3,
-        out_specs=pl.BlockSpec((nx * k, _PEEL_TILE),
-                               lambda i: (i * 0, i)),
-        out_shape=jax.ShapeDtypeStruct((nx * k, n), jnp.int8),
-        interpret=interpret,
-    )(hi, mid, lo)
-    return out, sx.astype(x.dtype) if x.dtype != jnp.float64 else sx
+    out = _peel_rows_pallas(t, nx, _BITS, interpret=interpret)
+    return (out.reshape(nx * k, n),
+            sx.astype(x.dtype) if x.dtype != jnp.float64 else sx)
 
 
 def _tier_params(m_na: int, dtype, nx: int | None, nlev: int | None):

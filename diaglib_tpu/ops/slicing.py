@@ -77,7 +77,14 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
 
     All slice values satisfy |q| <= 2^bits (top slice) / 2^{bits-1} + 1
     (the rest), so int8 storage at bits <= 6 is exact.
+
+    On TPU, 2-D row-aligned operands (``axis=-1``, lane dim a multiple of
+    the peel tile) run the peel chain as a one-pass Pallas kernel — the
+    XLA expression materializes every intermediate remainder and costs
+    more than the MXU dot it feeds (measured 2.5 ms at (165, 65536)).
     """
+    import jax
+
     x = jnp.asarray(x)
     scale = _row_scale(x, axis)
     if bits >= 7:
@@ -86,7 +93,83 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
         # exactly when a line max is a power of two)
         scale = 2.0 * scale
     t = x / scale  # exact: power-of-two division
+    ax = axis % x.ndim
+    if (x.ndim == 2 and ax == 1 and jax.default_backend() == "tpu"
+            and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
+        return _peel_rows_pallas(t, n_slices, bits), scale
     return slice_scaled(t, n_slices=n_slices, bits=bits), scale
+
+
+_PEEL_TILE = 2048
+
+
+def _peel_tile_for(k: int, n: int, n_slices: int):
+    """Largest lane tile (<= _PEEL_TILE, divides n) whose double-buffered
+    peel working set fits the default 16 MB scoped VMEM; None if none."""
+    for tile in (2048, 1024, 512, 256):
+        if n % tile:
+            continue
+        # out tile int8 + 3 f32 inputs, double-buffered
+        if 2 * tile * k * (n_slices + 12) <= 12 * 1024 * 1024:
+            return tile
+    return None
+
+
+def _peel_rows_pallas(t, n_slices: int, bits: int, interpret: bool = False):
+    """(n_slices, k, n) int8 slices of pre-scaled 2-D ``t`` via one Pallas
+    pass (bit-identical to :func:`slice_scaled`)."""
+    from jax.experimental import pallas as pl
+
+    k, n = t.shape
+    hi = t.astype(jnp.float32)
+    if t.dtype == jnp.float64:
+        # emulated-f64 passes dominate — compute the second difference
+        # from the first, not from t twice
+        d = t - hi.astype(jnp.float64)
+        mid = d.astype(jnp.float32)
+        lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    else:
+        mid = jnp.zeros_like(hi)
+        lo = jnp.zeros_like(hi)
+    tile = _peel_tile_for(k, n, n_slices) or _PEEL_TILE
+    out = pl.pallas_call(
+        _make_peel_kernel(n_slices, k, bits),
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((k, tile),
+                               lambda i: (i * 0, i))] * 3,
+        out_specs=pl.BlockSpec((n_slices * k, tile),
+                               lambda i: (i * 0, i)),
+        out_shape=jax.ShapeDtypeStruct((n_slices * k, n), jnp.int8),
+        interpret=interpret,
+    )(hi, mid, lo)
+    return out.reshape(n_slices, k, n)
+
+
+def _make_peel_kernel(nx: int, k: int, bits: int):
+    """Kernel: the slice_scaled peel chain on (hi, mid, lo) f32 components,
+    entirely in registers (see slice_scaled for the split thresholds)."""
+    import numpy as np
+
+    def kern(hi_ref, mid_ref, lo_ref, o_ref):
+        rem_hi = hi_ref[:, :]
+        rem_mid = mid_ref[:, :]
+        rem_lo = lo_ref[:, :]
+        for i in range(nx):
+            w = np.float32(2.0 ** (-bits * (i + 1)))
+            inv = np.float32(2.0 ** (bits * (i + 1)))
+            q = jnp.round(rem_hi * inv)
+            rem_hi = rem_hi - q * w
+            if bits * (i + 1) >= 24:
+                q2 = jnp.round(rem_mid * inv)
+                rem_mid = rem_mid - q2 * w
+                q = q + q2
+            if bits * (i + 1) >= 48:
+                q3 = jnp.round(rem_lo * inv)
+                rem_lo = rem_lo - q3 * w
+                q = q + q3
+            o_ref[i * k:(i + 1) * k, :] = q.astype(jnp.int8)
+
+    return kern
 
 
 def slice_scaled(t, n_slices: int = _SLICES, bits: int = _BITS):
@@ -231,3 +314,118 @@ def sliced_mTm(a, b, n_slices: int = _SLICES, bits: int = _BITS):
     # lhs (ns1, K, M) -> (ns1, M, K)
     prods = _slice_pair_products(xs.transpose(0, 2, 1), bs)
     return _combine(prods, sx.T, sb, bits, a.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# wide-output small-K contraction (solver "rotation" products)
+# ---------------------------------------------------------------------------
+
+_WIDE_BITS = 7  # half grid (|q| <= 64); see slice_operand
+
+
+def _wide_kernel(ns_a: int, ns_b: int, nlev: int, m: int, kdim: int,
+                 bits: int):
+    """Per n-tile: peel b's slice planes in registers, dot each against
+    the resident a-slices, fold into shared level accumulators."""
+    import numpy as np
+
+    def kern(a_ref, hi_ref, mid_ref, lo_ref, o_ref):
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+        a_sl = a_ref[:, :]                                  # (ns_a*m, K)
+        rem_hi = hi_ref[:, :]
+        rem_mid = mid_ref[:, :]
+        rem_lo = lo_ref[:, :]
+        for p in range(ns_b):
+            w = np.float32(2.0 ** (-bits * (p + 1)))
+            inv = np.float32(2.0 ** (bits * (p + 1)))
+            q = jnp.round(rem_hi * inv)
+            rem_hi = rem_hi - q * w
+            if bits * (p + 1) >= 24:
+                q2 = jnp.round(rem_mid * inv)
+                rem_mid = rem_mid - q2 * w
+                q = q + q2
+            if bits * (p + 1) >= 48:
+                q3 = jnp.round(rem_lo * inv)
+                rem_lo = rem_lo - q3 * w
+                q = q + q3
+            plane = q.astype(jnp.int8)                      # (K, TN)
+            prod = jax.lax.dot_general(
+                a_sl, plane, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)           # (ns_a*m, TN)
+            for i in range(ns_a):
+                lev = i + p
+                if lev >= nlev:
+                    continue
+                o_ref[lev * m:(lev + 1) * m, :] += (
+                    prod[i * m:(i + 1) * m, :])
+
+    return kern
+
+
+def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
+                   interpret: bool = False):
+    """Exact f64 ``a @ b`` for SMALL-K, WIDE-output contractions.
+
+    ``a: (m, K)`` small (a reduced eigenvector block, an overlap), ``b:
+    (K, n)`` wide (the solver's expansion space) — the Ritz-rotation /
+    projection shape.  The emulated-f64 matmul costs ~7 ms at
+    (15, 165) x (165, 65536) on v5e; here both operands are 7-bit integer
+    slices (b peeled in registers, per n-tile, never materialized) and the
+    contraction runs on the int8 MXU with exact int32 level accumulation —
+    same scheme as ops/bsr_sliced.py.  Accuracy: operands truncated at
+    2^-55 below the per-row(a) / per-column(b) scales; no rounding inside
+    the contraction.
+    """
+    m, kdim = a.shape
+    k2, n = b.shape
+    assert kdim == k2
+    if kdim * (1 << (2 * (bits - 1))) > (1 << 31):
+        raise ValueError(f"K={kdim} overflows exact int32 accumulation")
+    ns = n_slices
+    nlev = min(2 * ns - 1, 9)
+    # pad K to a sublane multiple so Pallas edge tiles are never garbage
+    kpad = (-kdim) % 8
+    if kpad:
+        a = jnp.pad(a, ((0, 0), (0, kpad)))
+        b = jnp.pad(b, ((0, kpad), (0, 0)))
+        kdim += kpad
+
+    a_sl, sa = slice_operand(a, axis=-1, n_slices=ns, bits=bits)
+    a_sl = a_sl.reshape(ns * m, kdim)
+    sb = 2.0 * pow2_grid(jnp.max(jnp.abs(b), axis=0, keepdims=True))
+    t = b * (1.0 / sb)
+    hi = t.astype(jnp.float32)
+    d = t - hi.astype(jnp.float64)
+    mid = d.astype(jnp.float32)
+    lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+
+    # tile: double-buffered 3 f32 input panels + int32 out panel in 16 MB
+    tile = None
+    for cand in (2048, 1024, 512, 256):
+        if n % cand == 0 and 2 * cand * (12 * kdim + 4 * nlev * m) <= (
+                12 * 1024 * 1024):
+            tile = cand
+            break
+    if tile is None:
+        raise ValueError(f"no valid lane tile for K={kdim}, n={n}")
+    from jax.experimental import pallas as pl
+
+    p = pl.pallas_call(
+        _wide_kernel(ns, ns, nlev, m, kdim, bits),
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((ns * m, kdim), lambda j: (j * 0, j * 0)),
+            pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
+            pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
+            pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
+        ],
+        out_specs=pl.BlockSpec((nlev * m, tile), lambda j: (j * 0, j)),
+        out_shape=jax.ShapeDtypeStruct((nlev * m, n), jnp.int32),
+        interpret=interpret,
+    )(a_sl, hi, mid, lo)
+
+    lv = p.reshape(nlev, m, n).astype(jnp.float64)
+    w = jnp.asarray([2.0 ** (-bits * (lev + 2)) for lev in range(nlev)],
+                    jnp.float64)
+    y = jnp.sum(lv * w[:, None, None], axis=0)
+    return y * sa * sb

@@ -57,6 +57,19 @@ def _use_sliced(dtype, k):
             and jax.default_backend() == "tpu")
 
 
+def _use_wide(dtype, k, m, n):
+    """Route short-contraction WIDE-output products (Ritz rotations,
+    ortho projections: (m, k) @ (k, n) with k ~ subspace size, n ~ vector
+    length) to the level-folded int8 kernel: the emulated-f64 matmul
+    costs ~7 ms at (15, 165) x (165, 65536) on v5e, the sliced kernel
+    ~1 ms at the same exactness."""
+    if os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto") == "never":
+        return False
+    return (dtype == jnp.float64 and jax.default_backend() == "tpu"
+            and k <= 4096 and m <= 1024 and n >= 8192
+            and n % 256 == 0 and k * (1 << 12) < (1 << 31))
+
+
 def _scaled(a, b):
     return (a @ (2.0 * b)) * 0.5
 
@@ -99,6 +112,10 @@ def mm(a, b):
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mm
         return sliced_mm(a, b)
+    if a.ndim == 2 and b.ndim == 2 and _use_wide(a.dtype, k, a.shape[0],
+                                                b.shape[-1]):
+        from ..ops.slicing import sliced_wide_mm
+        return sliced_wide_mm(a, b)
     if not _needs_chunking(a.dtype, k):
         return _scaled(a, b)
     nc, k_main = _chunk_sizes(k)
@@ -122,6 +139,10 @@ def mTm(a, b):
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mTm
         return sliced_mTm(a, b)
+    if a.ndim == 2 and b.ndim == 2 and _use_wide(a.dtype, k, a.shape[1],
+                                                b.shape[-1]):
+        from ..ops.slicing import sliced_wide_mm
+        return sliced_wide_mm(a.T, b)
     if not _needs_chunking(a.dtype, k):
         return (a.T @ (2.0 * b)) * 0.5
     nc, k_main = _chunk_sizes(k)

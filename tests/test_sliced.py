@@ -211,3 +211,26 @@ def test_blocked_x_delivery_matches_resident(monkeypatch):
     bs._sliced_spmm.clear_cache()
     np.testing.assert_array_equal(np.asarray(y_resident),
                                   np.asarray(y_blocked))
+
+
+def test_sliced_wide_mm_matches_f64():
+    """The level-folded wide-output kernel (Ritz rotations, ortho
+    projections: small K x wide n) must match the f64 oracle to slice
+    truncation (ops/slicing.py sliced_wide_mm)."""
+    from diaglib_tpu.ops.slicing import sliced_wide_mm
+
+    ka, kb = jax.random.split(jax.random.PRNGKey(11))
+    m, k, n = 15, 165, 8192
+    a = _rand(ka, (m, k)) * jnp.exp(
+        2.0 * jax.random.normal(jax.random.PRNGKey(5), (m, k), jnp.float64))
+    b = _rand(kb, (k, n))
+    ref = np.asarray(a) @ np.asarray(b)
+    out = sliced_wide_mm(a, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-14 * np.max(np.abs(ref)))
+    # correlated operands (the emulated-dot failure case)
+    a2 = jnp.tile(b[:1, :165].T[None, :, 0], (m, 1)) + 1e-9 * a
+    out2 = sliced_wide_mm(a2, b, interpret=True)
+    ref2 = np.asarray(a2) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out2), ref2,
+                               atol=1e-14 * np.max(np.abs(ref2)))
