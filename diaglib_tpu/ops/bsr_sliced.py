@@ -272,11 +272,16 @@ def _slice_x(x, nx, interpret: bool = False):
     the peel chain runs as a one-pass Pallas kernel (slicing.
     _peel_rows_pallas, bit-identical to the XLA path); the f64 ->
     (hi, mid, lo) f32 split stays in XLA (Mosaic has no f64)."""
-    from .slicing import _PEEL_TILE, _peel_rows_pallas, pow2_grid, \
-        slice_operand
+    from .slicing import (
+        _digit_slices_pallas,
+        _peel_rows_pallas,
+        _peel_tile_for,
+        pow2_grid,
+        slice_operand,
+    )
     k, n = x.shape
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not on_tpu or n % _PEEL_TILE:
+    if not on_tpu or not _peel_tile_for(k, n, nx):
         sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
                                axis=-1, n_slices=nx, bits=_BITS)
         return sl.reshape(nx * k, n), sx
@@ -284,8 +289,13 @@ def _slice_x(x, nx, interpret: bool = False):
     work = x.astype(jnp.float64) if nx > 4 else x
     sx = 2.0 * pow2_grid(
         jnp.max(jnp.abs(work), axis=-1, keepdims=True))
-    t = work * (1.0 / sx)  # exact: power-of-two scale
-    out = _peel_rows_pallas(t, nx, _BITS, interpret=interpret)
+    if work.dtype == jnp.float64:
+        # integer digit extraction: zero f64 arithmetic in the slice path
+        out = _digit_slices_pallas(work, sx, nx, _BITS,
+                                   interpret=interpret)
+    else:
+        t = work * (1.0 / sx)  # exact: power-of-two scale
+        out = _peel_rows_pallas(t, nx, _BITS, interpret=interpret)
     return (out.reshape(nx * k, n),
             sx.astype(x.dtype) if x.dtype != jnp.float64 else sx)
 
