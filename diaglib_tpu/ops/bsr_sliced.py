@@ -273,7 +273,6 @@ def _slice_x(x, nx, interpret: bool = False):
     _peel_rows_pallas, bit-identical to the XLA path); the f64 ->
     (hi, mid, lo) f32 split stays in XLA (Mosaic has no f64)."""
     from .slicing import (
-        _digit_slices_pallas,
         _peel_rows_pallas,
         _peel_tile_for,
         pow2_grid,
@@ -289,13 +288,8 @@ def _slice_x(x, nx, interpret: bool = False):
     work = x.astype(jnp.float64) if nx > 4 else x
     sx = 2.0 * pow2_grid(
         jnp.max(jnp.abs(work), axis=-1, keepdims=True))
-    if work.dtype == jnp.float64:
-        # integer digit extraction: zero f64 arithmetic in the slice path
-        out = _digit_slices_pallas(work, sx, nx, _BITS,
-                                   interpret=interpret)
-    else:
-        t = work * (1.0 / sx)  # exact: power-of-two scale
-        out = _peel_rows_pallas(t, nx, _BITS, interpret=interpret)
+    t = work * (1.0 / sx)  # exact: power-of-two scale
+    out = _peel_rows_pallas(t, nx, _BITS, interpret=interpret)
     return (out.reshape(nx * k, n),
             sx.astype(x.dtype) if x.dtype != jnp.float64 else sx)
 

@@ -101,15 +101,11 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
         # inside int8 even at bits=7 (a full grid would hit q = 2^7 = 128
         # exactly when a line max is a power of two)
         scale = 2.0 * scale
-    ax = axis % x.ndim
-    if (x.ndim == 2 and ax == 1 and x.dtype == jnp.float64
-            and jax.default_backend() == "tpu"
-            and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
-        # integer digit extraction: no f64 arithmetic at all (the scale
-        # division + component split used to cost 3-4 emulated-f64 passes
-        # — more than the MXU dot the slices feed)
-        return _digit_slices_pallas(x, scale, n_slices, bits), scale
     t = x / scale  # exact: power-of-two division
+    ax = axis % x.ndim
+    if (x.ndim == 2 and ax == 1 and jax.default_backend() == "tpu"
+            and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
+        return _peel_rows_pallas(t, n_slices, bits), scale
     return slice_scaled(t, n_slices=n_slices, bits=bits), scale
 
 
@@ -338,18 +334,32 @@ _WIDE_BITS = 7  # half grid (|q| <= 64); see slice_operand
 
 def _wide_kernel(ns_a: int, ns_b: int, nlev: int, m: int, kdim: int,
                  bits: int):
-    """Per n-tile: extract b's slice planes by integer digit extraction
-    (no f64 arithmetic), dot each against the resident a-slices, fold
-    into shared level accumulators."""
+    """Per n-tile: peel b's slice planes in registers, dot each against
+    the resident a-slices, fold into shared level accumulators."""
+    import numpy as np
 
-    def kern(a_ref, bhi_ref, blo_ref, eoff_ref, o_ref):
+    def kern(a_ref, hi_ref, mid_ref, lo_ref, o_ref):
         o_ref[:, :] = jnp.zeros_like(o_ref)
         a_sl = a_ref[:, :]                                  # (ns_a*m, K)
-        planes = _extract_digits(bhi_ref[:, :], blo_ref[:, :],
-                                 eoff_ref[:, :], ns_b, bits)
+        rem_hi = hi_ref[:, :]
+        rem_mid = mid_ref[:, :]
+        rem_lo = lo_ref[:, :]
         for p in range(ns_b):
+            w = np.float32(2.0 ** (-bits * (p + 1)))
+            inv = np.float32(2.0 ** (bits * (p + 1)))
+            q = jnp.round(rem_hi * inv)
+            rem_hi = rem_hi - q * w
+            if bits * (p + 1) >= 24:
+                q2 = jnp.round(rem_mid * inv)
+                rem_mid = rem_mid - q2 * w
+                q = q + q2
+            if bits * (p + 1) >= 48:
+                q3 = jnp.round(rem_lo * inv)
+                rem_lo = rem_lo - q3 * w
+                q = q + q3
+            plane = q.astype(jnp.int8)                      # (K, TN)
             prod = jax.lax.dot_general(
-                a_sl, planes[p], (((1,), (0,)), ((), ())),
+                a_sl, plane, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)           # (ns_a*m, TN)
             for i in range(ns_a):
                 lev = i + p
@@ -392,10 +402,11 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
     a_sl, sa = slice_operand(a, axis=-1, n_slices=ns, bits=bits)
     a_sl = a_sl.reshape(ns * m, kdim)
     sb = 2.0 * pow2_grid(jnp.max(jnp.abs(b), axis=0, keepdims=True))
-    words = jax.lax.bitcast_convert_type(b, jnp.uint32)     # (K, n, 2) LE
-    blo = words[..., 0]
-    bhi = words[..., 1]
-    eoff = jnp.round(jnp.log2(sb)).astype(jnp.int32)        # (1, n)
+    t = b * (1.0 / sb)
+    hi = t.astype(jnp.float32)
+    d = t - hi.astype(jnp.float64)
+    mid = d.astype(jnp.float32)
+    lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
 
     # tile: double-buffered 3 f32 input panels + int32 out panel in 16 MB
     tile = None
@@ -415,131 +426,15 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
             pl.BlockSpec((ns * m, kdim), lambda j: (j * 0, j * 0)),
             pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
             pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
-            pl.BlockSpec((1, tile), lambda j: (j * 0, j)),
+            pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
         ],
         out_specs=pl.BlockSpec((nlev * m, tile), lambda j: (j * 0, j)),
         out_shape=jax.ShapeDtypeStruct((nlev * m, n), jnp.int32),
         interpret=interpret,
-    )(a_sl, bhi, blo, eoff)
+    )(a_sl, hi, mid, lo)
 
     lv = p.reshape(nlev, m, n).astype(jnp.float64)
     w = jnp.asarray([2.0 ** (-bits * (lev + 2)) for lev in range(nlev)],
                     jnp.float64)
     y = jnp.sum(lv * w[:, None, None], axis=0)
     return y * sa * sb
-
-
-# ---------------------------------------------------------------------------
-# integer digit extraction: f64 operand slicing with NO f64 arithmetic
-# ---------------------------------------------------------------------------
-#
-# The peel path still pays 3-4 emulated-f64 elementwise passes (scale
-# division + the hi/mid/lo component split) — ~2-3 ms for a (165, 65536)
-# operand, more than the MXU dot the slices feed.  This kernel reads the
-# RAW f64 bit pattern (two uint32 words) and extracts the balanced
-# base-2^bits digits directly with integer ops: exponent/mantissa decode,
-# one two-word funnel shift to the slice window, static bitfield
-# extraction, carry chain.  Truncation (floor of the |t| window + balanced
-# re-digit) errs below 2^{-bits*ns} of the per-row scale — the same
-# contract as slice_scaled's rounding peel (which it replaces on TPU).
-# Zeros and subnormals slice to 0 (a subnormal is < 2^-1022, far below
-# any row scale's truncation window); inf/NaN are outside the contract.
-
-
-def _extract_digits(xhi, xlo, eoff, ns: int, bits: int):
-    """Balanced base-2^bits digits of f64 values given as uint32 word
-    pairs, against power-of-two scales with exponents ``eoff`` (int32,
-    broadcastable).  Pure integer ops — traceable inside Pallas kernels.
-    Returns ``ns`` int8 planes, most significant first."""
-    P = bits * ns            # window bits; <= 56 fits two words after L
-    L = max(0, P - 52)       # pre-left-shift so the funnel shift is >= 0
-    base = 1 << bits
-    half = 1 << (bits - 1)
-
-    e = ((xhi >> 20) & 0x7FF).astype(jnp.int32)
-    neg = (xhi >> 31) == 1
-    mhi = (xhi & jnp.uint32(0xFFFFF)) | jnp.uint32(1 << 20)
-    mlo = xlo
-    # m53 << L (L <= 4): still two words (<= 57 bits)
-    if L:
-        mhi = (mhi << L) | (mlo >> (32 - L))
-        mlo = mlo << L
-    # funnel shift right by r = 1075 + E - e - P + L   (in [0, ~56])
-    r = (1075 - P + L) + eoff - e
-    r = jnp.clip(r, 0, 63).astype(jnp.uint32)
-    r1 = jnp.minimum(r, 31)
-    wlo_a = (mlo >> r1) | jnp.where(
-        r1 == 0, jnp.uint32(0), mhi << ((32 - r1) & 31))
-    whi_a = mhi >> r1
-    r2 = jnp.minimum(r - 32, 31)
-    wlo_b = mhi >> r2
-    big = r >= 32
-    wlo = jnp.where(big, wlo_b, wlo_a)
-    whi = jnp.where(big, jnp.uint32(0), whi_a)
-    # W = (whi, wlo): floor(|t| * 2^P), <= P+1 bits (top digit holds
-    # the extra bit when |t| lands exactly on the grid)
-    zero = e == 0                               # 0 / subnormal -> 0
-    whi = jnp.where(zero, jnp.uint32(0), whi)
-    wlo = jnp.where(zero, jnp.uint32(0), wlo)
-
-    # static digit extraction, least significant first + carry chain
-    carry = jnp.zeros_like(e)
-    sgn = jnp.where(neg, -1, 1).astype(jnp.int32)
-    outs = [None] * ns
-    for j in range(ns, 0, -1):                  # digit j: bits of W at
-        pos = P - bits * j                      # [pos+bits-1 .. pos]
-        width = bits + 1 if j == 1 else bits    # top keeps the carry bit
-        mask = jnp.uint32((1 << width) - 1)
-        if pos + width <= 32:
-            d = (wlo >> pos) & mask
-        elif pos >= 32:
-            d = (whi >> (pos - 32)) & mask
-        else:
-            d = ((wlo >> pos) | (whi << (32 - pos))) & mask
-        d = d.astype(jnp.int32) + carry
-        if j == 1:
-            q = d                               # top digit: no rebalance
-        else:
-            wrap = d > half
-            q = jnp.where(wrap, d - base, d)
-            carry = jnp.where(wrap, 1, 0)
-        outs[j - 1] = (q * sgn).astype(jnp.int8)
-    return outs
-
-
-def _digit_kernel(ns: int, k: int, bits: int):
-    def kern(hi_ref, lo_ref, eoff_ref, o_ref):
-        outs = _extract_digits(hi_ref[:, :], lo_ref[:, :], eoff_ref[:, :],
-                               ns, bits)
-        for j in range(ns):
-            o_ref[j * k:(j + 1) * k, :] = outs[j]
-
-    return kern
-
-
-def _digit_slices_pallas(x, scale, n_slices: int, bits: int,
-                         interpret: bool = False):
-    """(n_slices, k, n) int8 slices of f64 ``x`` against the power-of-two
-    ``scale`` (k, 1) — pure integer extraction, see block comment."""
-    from jax.experimental import pallas as pl
-
-    k, n = x.shape
-    words = jax.lax.bitcast_convert_type(x, jnp.uint32)   # (k, n, 2) LE
-    xlo = words[..., 0]
-    xhi = words[..., 1]
-    eoff = jnp.round(jnp.log2(scale)).astype(jnp.int32)   # (k, 1)
-    eoff = jnp.broadcast_to(eoff, (k, 1))
-    tile = _peel_tile_for(k, n, n_slices) or _PEEL_TILE
-    out = pl.pallas_call(
-        _digit_kernel(n_slices, k, bits),
-        grid=(n // tile,),
-        in_specs=[
-            pl.BlockSpec((k, tile), lambda i: (i * 0, i)),
-            pl.BlockSpec((k, tile), lambda i: (i * 0, i)),
-            pl.BlockSpec((k, 1), lambda i: (i * 0, i * 0)),
-        ],
-        out_specs=pl.BlockSpec((n_slices * k, tile), lambda i: (i * 0, i)),
-        out_shape=jax.ShapeDtypeStruct((n_slices * k, n), jnp.int8),
-        interpret=interpret,
-    )(xhi, xlo, eoff)
-    return out.reshape(n_slices, k, n)
