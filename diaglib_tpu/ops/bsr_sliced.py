@@ -278,9 +278,11 @@ def _slice_x(x, nx, interpret: bool = False):
         pow2_grid,
         slice_operand,
     )
+    import os
     k, n = x.shape
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not on_tpu or not _peel_tile_for(k, n, nx):
+    if (not on_tpu or not _peel_tile_for(k, n, nx)
+            or os.environ.get("DIAGLIB_TPU_PEEL", "auto") == "never"):
         sl, sx = slice_operand(x.astype(jnp.float64) if nx > 4 else x,
                                axis=-1, n_slices=nx, bits=_BITS)
         return sl.reshape(nx * k, n), sx

@@ -103,7 +103,9 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
         scale = 2.0 * scale
     t = x / scale  # exact: power-of-two division
     ax = axis % x.ndim
+    import os
     if (x.ndim == 2 and ax == 1 and jax.default_backend() == "tpu"
+            and os.environ.get("DIAGLIB_TPU_PEEL", "auto") != "never"
             and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
         return _peel_rows_pallas(t, n_slices, bits), scale
     return slice_scaled(t, n_slices=n_slices, bits=bits), scale
@@ -407,6 +409,13 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
     d = t - hi.astype(jnp.float64)
     mid = d.astype(jnp.float32)
     lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    import os
+    if os.environ.get("DIAGLIB_TPU_WIDE_SANITIZE"):
+        # experiment: zero non-finite lanes before the in-kernel f32->int8
+        # peel (Mosaic converts of NaN/Inf are suspected to fault)
+        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+        mid = jnp.where(jnp.isfinite(mid), mid, 0.0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
 
     # tile: double-buffered 3 f32 input panels + int32 out panel in 16 MB
     tile = None

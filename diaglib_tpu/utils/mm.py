@@ -65,9 +65,19 @@ def _use_wide(dtype, k, m, n):
     ~1 ms at the same exactness."""
     if os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto") == "never":
         return False
-    return (dtype == jnp.float64 and jax.default_backend() == "tpu"
-            and k <= 4096 and m <= 1024 and n >= 8192
-            and n % 256 == 0 and k * (1 << 12) < (1 << 31))
+    mode = os.environ.get("DIAGLIB_TPU_WIDE_MM", "auto")
+    if mode == "never":
+        return False
+    use = (dtype == jnp.float64 and jax.default_backend() == "tpu"
+           and k <= 4096 and m <= 1024 and n >= 8192
+           and n % 256 == 0 and k * (1 << 12) < (1 << 31))
+    if use and mode.startswith("kmin:"):
+        use = k >= int(mode[5:])
+    elif use and mode.startswith("kmax:"):
+        use = k <= int(mode[5:])
+    if use and os.environ.get("DIAGLIB_TPU_MM_LOG"):
+        print(f"[mm] wide route: ({m}, {k}) @ ({k}, {n})", flush=True)
+    return use
 
 
 def _scaled(a, b):
