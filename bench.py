@@ -101,6 +101,15 @@ def prev_value():
 # ---------------------------------------------------------------------------
 
 
+
+def _sjit(fun=None, **kw):
+    """jax.jit with the TPU VMEM-MSA guard (utils/compile.py): Pallas
+    kernels with big scoped-VMEM reservations inside solver programs crash
+    the v5e runtime when MSA promotes other buffers into VMEM."""
+    from diaglib_tpu.utils.compile import safe_jit
+
+    return safe_jit(fun, **kw)
+
 def _jax():
     import jax
 
@@ -138,7 +147,7 @@ def section_spmm():
     x = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.float32)
     rep = 50
 
-    @jax.jit
+    @_sjit
     def many(m, x):
         def body(i, acc):
             return bsr_matvec(m)(acc) * 1e-3
@@ -161,7 +170,7 @@ def section_spmm():
     for tag, dtype, xx, rep_t in (("spmm_f64_gnnzps", jnp.float64, x64, 20),
                                   ("spmm_sliced_f32_gnnzps", jnp.float32, x,
                                    20)):
-        @jax.jit
+        @_sjit
         def many_t(ms, x):
             def body(i, acc):
                 return sliced_bsr_matvec(ms, dtype=dtype)(acc) * 1e-3
@@ -193,7 +202,7 @@ def section_spmm():
             ("spmm_sym_f64_gnnzps", jnp.float64, x2, 25),
             ("spmm_sym_f32_gnnzps", jnp.float32,
              x2.astype(jnp.float32), 25)):
-        @jax.jit
+        @_sjit
         def many_s(sym, x):
             def body(i, acc):
                 return sym_sliced_matvec(sym, dtype=dtype)(acc) * 1e-3
@@ -234,7 +243,7 @@ def section_flagship():
                          max_dav=10)
     g = jnp.zeros((n_eig, n), jnp.float64)
 
-    run = jax.jit(lambda ms, g, k: davidson_ladder(
+    run = _sjit(lambda ms, g, k: davidson_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
@@ -255,7 +264,7 @@ def section_flagship():
     emit(METRIC, dt, "s", ok=ok, iters=int(res.n_iter), f64_iters=f64_iters)
 
     # LOBPCG ladder on the same operator/tolerances
-    run_l = jax.jit(lambda ms, g, k: lobpcg_ladder(
+    run_l = _sjit(lambda ms, g, k: lobpcg_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
@@ -291,7 +300,7 @@ def section_caslr():
 
     # operators passed as jit ARGUMENTS — closing over them bakes the
     # multi-GB slice stores into the program as constants (DESIGN.md §6)
-    run = jax.jit(lambda apb, amb, g, k: caslr_eff_ladder(
+    run = _sjit(lambda apb, amb, g, k: caslr_eff_ladder(
         *casida_tdscf_ops(apb, amb), g, opts, lo_tol=2e-6, lo_iter=60,
         key=k))
     t0 = time.time()
@@ -332,16 +341,16 @@ def section_toy():
         dt, res, ok = _steady(run, args_of_key, jax.random.PRNGKey(1), keys)
         emit(f"toy_{name}_ms", dt * 1e3, "ms", ok=ok, iters=int(res.n_iter))
 
-    run_d = jax.jit(lambda a, g, k: davidson(
+    run_d = _sjit(lambda a, g, k: davidson(
         dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
     steady("davidson", run_d, lambda k: (a, g, k))
 
-    run_l = jax.jit(lambda a, g, k: lobpcg(
+    run_l = _sjit(lambda a, g, k: lobpcg(
         dense_matvec(a), diag_precnd(jnp.diagonal(a)), g, opts, key=k))
     steady("lobpcg", run_l, lambda k: (a, g, k))
 
     s = metric_matrix(n, jax.random.PRNGKey(1))
-    run_g = jax.jit(lambda a, s, g, k: gen_david(
+    run_g = _sjit(lambda a, s, g, k: gen_david(
         dense_matvec(a), diag_precnd(jnp.diagonal(a)), dense_matvec(s),
         g, opts, key=k))
     steady("gen_david", run_g, lambda k: (a, s, g, k))
@@ -382,13 +391,13 @@ def section_toy_lr():
                spdmul=dense_matvec(blk["spd"]),
                smdmul=dense_matvec(blk["smd"]))
 
-    run_c = jax.jit(lambda g, k: caslr(
+    run_c = _sjit(lambda g, k: caslr(
         lrprec=pc_std, evec_guess=g, options=opts, **ops))
     steady("caslr", run_c, lambda k: (glr, k))
-    run_c0 = jax.jit(lambda g, k: caslr(
+    run_c0 = _sjit(lambda g, k: caslr(
         lrprec=pc_std, evec_guess=g, options=opts, algorithm=0, **ops))
     steady("caslr_alg0", run_c0, lambda k: (glr, k))
-    run_e = jax.jit(lambda g, k: caslr_eff(
+    run_e = _sjit(lambda g, k: caslr_eff(
         lrprec=pc_eff, evec_guess=g, options=opts, **ops))
     steady("caslr_eff", run_e, lambda k: (glr, k))
 
@@ -415,7 +424,7 @@ def section_nonsym_toy():
 
     # fully on-device reduced eigensolver (Eberlein norm-reducing Jacobi,
     # utils/eberlein.py): ONE jitted while_loop program, no host RPC
-    run_dev = jax.jit(lambda g, k: nonsym(
+    run_dev = _sjit(lambda g, k: nonsym(
         mv_n, mvt_n, pc_n, g, on, side="c", key=k, driver="device"))
     dt, res, ok = _steady(run_dev, lambda k: (gn, k), jax.random.PRNGKey(1),
                           keys)
@@ -466,7 +475,7 @@ def section_nonsym_flagship():
             g, opts, side="c", lo_tol=2e-6, lo_iter=60, key=k,
             driver="device")
 
-    run = jax.jit(run)
+    run = _sjit(run)
     t0 = time.time()
     res = jax.block_until_ready(run(stores, g, jax.random.PRNGKey(1)))
     log(f"nonsym ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
@@ -501,7 +510,7 @@ def section_gen_flagship():
     g = jnp.zeros((n_eig, n), jnp.float64)
     f32 = jnp.float32
 
-    run = jax.jit(lambda a, b, g, k: gen_david_ladder(
+    run = _sjit(lambda a, b, g, k: gen_david_ladder(
         sliced_bsr_matvec(a, dtype=f32),
         diag_precnd(a.diagonal.astype(f32)),
         sliced_bsr_matvec(b, dtype=f32),
@@ -552,7 +561,7 @@ def section_scaling():
             log(f"scaling: only {len(devices)} devices, stopping at d={d}")
             break
         sh = VectorSharding(make_mesh(devices[:d]))
-        run = jax.jit(lambda g, k, sh=sh: davidson(mv, pc, g, opts, key=k,
+        run = _sjit(lambda g, k, sh=sh: davidson(mv, pc, g, opts, key=k,
                                                    sharding=sh))
         dt, res, ok = _steady(
             run, lambda k: (g, k), jax.random.PRNGKey(1),

@@ -270,7 +270,9 @@ def ortho_vs_x(x, u, xmask=None, umask=None, max_iter: int = _MAXIT):
     xm = jnp.where(xmask[:, None], x, 0.0)
 
     def project(uu):
-        return uu - mm(mmT(uu, xm), xm)
+        from ..utils.mm import wide_site
+        with wide_site("proj"):
+            return uu - mm(mmT(uu, xm), xm)
 
     u_out, done = _iterate_vs_x(project, xm, u, umask, max_iter)
     return u_out, done

@@ -147,9 +147,11 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             eig = e_red[:n_max]
             c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 
-            evec = mTm(c, s.space)
-            metric_evec = mTm(c, s.bspace) if gen_eig else evec
-            r = mTm(c, aspace) - eig[:, None] * metric_evec
+            from ..utils.mm import wide_site
+            with wide_site("rot"):
+                evec = mTm(c, s.space)
+                metric_evec = mTm(c, s.bspace) if gen_eig else evec
+                r = mTm(c, aspace) - eig[:, None] * metric_evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
         rms_new = jnp.linalg.norm(r, axis=1) / sqrtn

@@ -42,6 +42,25 @@ __all__ = ["mm", "mmT", "mTm"]
 _CHUNK = 4096
 _SLICED_MIN_K = 8192
 
+# trace-time call-site tag for wide-route bisection (DIAGLIB_TPU_WIDE_SITES)
+_wide_site = "untagged"
+
+
+class wide_site:
+    """Context manager tagging mm/mTm call sites at trace time (debug)."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        global _wide_site
+        self.prev = _wide_site
+        _wide_site = self.name
+
+    def __exit__(self, *a):
+        global _wide_site
+        _wide_site = self.prev
+
 
 def _use_sliced(dtype, k):
     # NOTE: read at TRACE time — jit caches do not key on env vars, so
@@ -75,8 +94,12 @@ def _use_wide(dtype, k, m, n):
         use = k >= int(mode[5:])
     elif use and mode.startswith("kmax:"):
         use = k <= int(mode[5:])
+    sites = os.environ.get("DIAGLIB_TPU_WIDE_SITES")
+    if use and sites:
+        use = _wide_site in sites.split(",")
     if use and os.environ.get("DIAGLIB_TPU_MM_LOG"):
-        print(f"[mm] wide route: ({m}, {k}) @ ({k}, {n})", flush=True)
+        print(f"[mm] wide route: ({m}, {k}) @ ({k}, {n}) site={_wide_site}",
+              flush=True)
     return use
 
 
