@@ -643,15 +643,19 @@ def print_headline(final=False):
 def main():
     for name, budget, extra_env in SECTIONS:
         recs = run_section(name, budget, extra_env)
+        if not recs:
+            # a section that died (often the VMEM-MSA worker crash,
+            # utils/compile.py) gets ONE retry with promotions disabled —
+            # slower but immune to the overflow
+            log(f"[bench] section {name} produced no metrics — retrying "
+                "with DIAGLIB_TPU_NO_VMEM_MSA=1")
+            env = dict(extra_env or {})
+            env["DIAGLIB_TPU_NO_VMEM_MSA"] = "1"
+            recs = run_section(name, budget, env)
         for rec in recs:
             SUITE.append(rec)
             log(json.dumps(rec))
         if name == "flagship":
-            if headline_record() is None:  # one retry for the metric
-                log("[bench] flagship failed — retrying once")
-                for rec in run_section(name, budget, extra_env):
-                    SUITE.append(rec)
-                    log(json.dumps(rec))
             # crash insurance: emit the headline NOW so a later-section
             # failure mode that takes the parent down cannot erase it
             print_headline(final=False)

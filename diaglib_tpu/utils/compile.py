@@ -48,10 +48,23 @@ def _device_kind_options(kind: str, backend: str):
 def tpu_compiler_options():
     """Compiler-option overrides for the current default backend.
 
-    Returns a dict usable as ``jax.jit(..., compiler_options=...)`` (empty
-    when the backend does not need the VMEM-MSA guard — CPU, GPU, and TPU
-    generations with other flag prefixes).
+    Returns a dict usable as ``jax.jit(..., compiler_options=...)``.
+
+    Disabling MSA costs real performance (the flagship ladder measured
+    1.48 s vs 0.94 s with promotions on), so the guard is OPT-IN via
+    ``DIAGLIB_TPU_NO_VMEM_MSA=1``: programs near the VMEM cliff (big
+    scoped reservations + many promotable Pallas outputs) set it — or are
+    re-run with it after a worker crash, which is how bench.py's section
+    retry uses it.  The milder budget knobs were probed and do NOT
+    prevent the overflow (``xla_vf_max_vmem_used_by_memory_space_assignment``
+    leaves the S(1) promotions in place at any value;
+    ``xla_tpu_msa_reduce_scoped_vmem_limit`` crashes the compiler;
+    ``xla_tpu_scoped_vmem_limit_kib`` only grows the reservation).
     """
+    import os
+
+    if not os.environ.get("DIAGLIB_TPU_NO_VMEM_MSA"):
+        return {}
     try:
         backend = jax.default_backend()
         kind = jax.devices()[0].device_kind if backend == "tpu" else ""

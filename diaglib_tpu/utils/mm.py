@@ -87,6 +87,14 @@ def _use_wide(dtype, k, m, n):
     mode = os.environ.get("DIAGLIB_TPU_WIDE_MM", "auto")
     if mode == "never":
         return False
+    if mode == "auto":
+        # default OFF: the kernel itself is correct (isolated + composed
+        # repros pass), but its 35 MB int32 outputs are prime targets for
+        # XLA's VMEM memory-space-assignment, whose oversubscription next
+        # to the sliced SpMM's scoped reservation crashes the v5e worker
+        # (see utils/compile.py).  Opt in with DIAGLIB_TPU_WIDE_MM=always
+        # together with DIAGLIB_TPU_NO_VMEM_MSA=1.
+        return False
     use = (dtype == jnp.float64 and jax.default_backend() == "tpu"
            and k <= 4096 and m <= 1024 and n >= 8192
            and n % 256 == 0 and k * (1 << 12) < (1 << 31))
