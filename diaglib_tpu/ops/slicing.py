@@ -337,15 +337,28 @@ _WIDE_BITS = 7  # half grid (|q| <= 64); see slice_operand
 def _wide_kernel(ns_a: int, ns_b: int, nlev: int, m: int, kdim: int,
                  bits: int):
     """Per n-tile: peel b's slice planes in registers, dot each against
-    the resident a-slices, fold into shared level accumulators."""
+    the resident a-slices, fold into per-level accumulators, and combine
+    the levels into an EXACT triple-float32 output in the same step.
+
+    The in-kernel combine replaces the former (nlev*m, n) int32 output:
+    large Pallas outputs are prime targets for XLA's VMEM memory-space
+    assignment, whose oversubscription crashes the v5e runtime
+    (utils/compile.py) — and the (3*m, n) f32 triple is 3x smaller and
+    saves the XLA-side combine pass entirely.  Exactness of the combine:
+    each int32 level value splits as (v & ~0xfff) + (v & 0xfff); both
+    halves convert to f32 exactly (<= 19 and <= 12 significant bits) and
+    their power-of-two weighting is exact, so the only rounding is the
+    third component of the TwoSum cascade (relative error ~2^-68, beyond
+    f64).  Deepest levels are added first, mirroring _combine.
+    """
     import numpy as np
 
     def kern(a_ref, hi_ref, mid_ref, lo_ref, o_ref):
-        o_ref[:, :] = jnp.zeros_like(o_ref)
         a_sl = a_ref[:, :]                                  # (ns_a*m, K)
         rem_hi = hi_ref[:, :]
         rem_mid = mid_ref[:, :]
         rem_lo = lo_ref[:, :]
+        lv = [None] * nlev                                  # int32 levels
         for p in range(ns_b):
             w = np.float32(2.0 ** (-bits * (p + 1)))
             inv = np.float32(2.0 ** (bits * (p + 1)))
@@ -367,8 +380,32 @@ def _wide_kernel(ns_a: int, ns_b: int, nlev: int, m: int, kdim: int,
                 lev = i + p
                 if lev >= nlev:
                     continue
-                o_ref[lev * m:(lev + 1) * m, :] += (
-                    prod[i * m:(i + 1) * m, :])
+                piece = prod[i * m:(i + 1) * m, :]
+                lv[lev] = piece if lv[lev] is None else lv[lev] + piece
+
+        def two_sum(s, t):
+            # Knuth 2Sum: exact in IEEE f32, branch-free
+            x = s + t
+            bb = x - s
+            err = (s - (x - bb)) + (t - bb)
+            return x, err
+
+        zero = jnp.zeros((m, o_ref.shape[1]), jnp.float32)
+        s_hi, s_mid, s_lo = zero, zero, zero
+        for lev in range(nlev - 1, -1, -1):                 # deepest first
+            w = np.float32(2.0 ** (-bits * (lev + 2)))
+            v = lv[lev]
+            vh = jax.lax.shift_left(
+                jax.lax.shift_right_arithmetic(v, jnp.int32(12)),
+                jnp.int32(12))
+            for part in (vh, v - vh):
+                t = part.astype(jnp.float32) * w            # exact
+                s_hi, e = two_sum(s_hi, t)
+                s_mid, e2 = two_sum(s_mid, e)
+                s_lo = s_lo + e2
+        o_ref[0:m, :] = s_hi
+        o_ref[m:2 * m, :] = s_mid
+        o_ref[2 * m:3 * m, :] = s_lo
 
     return kern
 
@@ -417,7 +454,8 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
         mid = jnp.where(jnp.isfinite(mid), mid, 0.0)
         lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
 
-    # tile: double-buffered 3 f32 input panels + int32 out panel in 16 MB
+    # tile: double-buffered 3 f32 input panels + in-register level
+    # accumulators (nlev int32 + triple-f32 out) in 16 MB
     tile = None
     for cand in (2048, 1024, 512, 256):
         if n % cand == 0 and 2 * cand * (12 * kdim + 4 * nlev * m) <= (
@@ -437,13 +475,11 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
             pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
             pl.BlockSpec((kdim, tile), lambda j: (j * 0, j)),
         ],
-        out_specs=pl.BlockSpec((nlev * m, tile), lambda j: (j * 0, j)),
-        out_shape=jax.ShapeDtypeStruct((nlev * m, n), jnp.int32),
+        out_specs=pl.BlockSpec((3 * m, tile), lambda j: (j * 0, j)),
+        out_shape=jax.ShapeDtypeStruct((3 * m, n), jnp.float32),
         interpret=interpret,
     )(a_sl, hi, mid, lo)
 
-    lv = p.reshape(nlev, m, n).astype(jnp.float64)
-    w = jnp.asarray([2.0 ** (-bits * (lev + 2)) for lev in range(nlev)],
-                    jnp.float64)
-    y = jnp.sum(lv * w[:, None, None], axis=0)
+    y = (p[0:m].astype(jnp.float64) + p[m:2 * m].astype(jnp.float64)
+         + p[2 * m:3 * m].astype(jnp.float64))
     return y * sa * sb

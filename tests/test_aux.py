@@ -167,3 +167,36 @@ def test_verbose_degrades_on_callbackless_backend(monkeypatch, recwarn):
     msgs = [w for w in caught if "in-flight progress disabled" in
             str(w.message)]
     assert len(msgs) == 1  # one-time warning, solve completes
+
+
+def test_tpu_compiler_options_gate(monkeypatch):
+    """The VMEM-MSA guard (utils/compile.py) is opt-in: empty by default,
+    populated only under DIAGLIB_TPU_NO_VMEM_MSA on a v5 TPU backend, and
+    always empty on CPU.  safe_jit must behave as plain jit either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from diaglib_tpu.utils import compile as dcompile
+
+    monkeypatch.delenv("DIAGLIB_TPU_NO_VMEM_MSA", raising=False)
+    assert dcompile.tpu_compiler_options() == {}
+
+    monkeypatch.setenv("DIAGLIB_TPU_NO_VMEM_MSA", "1")
+    opts = dcompile.tpu_compiler_options()
+    if jax.default_backend() == "tpu":
+        kind = jax.devices()[0].device_kind
+        if "v5" in kind:
+            assert opts == {"xla_vf_vmem_memory_space_assignment": "false"}
+    else:
+        assert opts == {}
+
+    # decorator and call forms both produce working jitted functions
+    f = dcompile.safe_jit(lambda x: x * 2.0)
+
+    @dcompile.safe_jit
+    def g(x):
+        return x + 1.0
+
+    x = jnp.asarray([1.0, 2.0])
+    assert float(f(x)[1]) == 4.0
+    assert float(g(x)[0]) == 2.0

@@ -234,3 +234,38 @@ def test_sliced_wide_mm_matches_f64():
     ref2 = np.asarray(a2) @ np.asarray(b)
     np.testing.assert_allclose(np.asarray(out2), ref2,
                                atol=1e-14 * np.max(np.abs(ref2)))
+
+
+def test_sliced_wide_mm_triple_f32_edge_cases():
+    """The in-kernel triple-f32 level combine must stay exact on solver
+    data patterns: zero rows (masked space), transposed lhs (the mTm
+    route), sign mixes, and per-column dynamic range."""
+    from diaglib_tpu.ops.slicing import sliced_wide_mm
+
+    m, k, n = 15, 165, 4096
+    kk = jax.random.split(jax.random.PRNGKey(3), 4)
+    a = _rand(kk[0], (m, k))
+    b = _rand(kk[1], (k, n))
+    # masked pattern: only the leading 30 rows of b are live
+    b = b.at[30:].set(0.0)
+    a = a.at[:, 30:].set(0.0)
+    out = sliced_wide_mm(a, b, interpret=True)
+    ref = np.asarray(a) @ np.asarray(b)
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-14 * max(np.max(np.abs(ref)), 1e-30))
+
+    # transposed lhs exactly as utils.mm.mTm routes it
+    cT = _rand(kk[2], (k, m))
+    b2 = _rand(kk[3], (k, n)) * jnp.exp(
+        3.0 * jax.random.normal(jax.random.PRNGKey(7), (1, n), jnp.float64))
+    out2 = sliced_wide_mm(cT.T, b2, interpret=True)
+    ref2 = np.asarray(cT).T @ np.asarray(b2)
+    np.testing.assert_allclose(np.asarray(out2), ref2,
+                               atol=1e-14 * np.max(np.abs(ref2)))
+
+    # all-zero b column and all-zero a row stay exactly zero
+    b3 = b2.at[:, 0].set(0.0)
+    a3 = a.at[0].set(0.0)
+    out3 = sliced_wide_mm(a3, b3, interpret=True)
+    assert float(jnp.max(jnp.abs(out3[:, 0]))) == 0.0
+    assert float(jnp.max(jnp.abs(out3[0]))) == 0.0
