@@ -470,6 +470,14 @@ def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
         return memo[key]
     value = _build_pass_programs(op, precnd, options, use_left, sharding, n,
                                  dtype_name)
+    from jax._src.core import trace_state_clean
+
+    if not trace_state_clean():
+        # built while tracing (a jitted ladder/driver): any array constant
+        # the closures captured is a tracer of THAT trace — storing it
+        # would leak into later calls (observed: device-driver trace
+        # poisoning the host driver's programs).  Use once, don't store.
+        return value
     memo[key] = value
     if fallback:
         while len(_FALLBACK_PROGRAMS) > _FALLBACK_MAX:
@@ -487,9 +495,13 @@ def _build_pass_programs(op, precnd, options: SolverOptions, use_left: bool,
     lda = options.dim_dav * n_max
     lda_pad = lda + n_max
     max_iter = options.max_iter
-    sqrtn = jnp.sqrt(jnp.asarray(n, dtype))
-    tol_rms = jnp.asarray(options.tol, dtype)
-    tol_max = jnp.asarray(options.tol_max, dtype)
+    # trace-independent Python/numpy scalars: these are captured by the
+    # memoized step closures, so they must NOT be jnp values (under an
+    # active trace jnp lifts even constants to tracers, which would leak
+    # through the memo into later traces)
+    sqrtn = float(np.sqrt(n))
+    tol_rms = float(options.tol)
+    tol_max = float(options.tol_max)
 
     # the host solve always runs dgeev in f64; results come back in the
     # solver's working precision so an f32 ladder stage stays f32 end to end

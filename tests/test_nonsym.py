@@ -227,6 +227,32 @@ def test_pass_programs_released_with_operator():
     assert ref() is None  # operator + its programs are collectible
 
 
+def test_pass_programs_not_poisoned_by_jitted_trace():
+    """A jitted (device-driver) solve must not leak its trace into the
+    program memo: a later HOST-driver solve over the SAME operator
+    closures previously died with UnexpectedTracerError (the memoized
+    step closures captured constants lifted to tracers; bench.py
+    nonsym_toy hit exactly this sequence)."""
+    a = nonsym_matrix(64, jax.random.PRNGKey(2), variant=3)
+    mv = dense_matvec(a)
+    mv_l = dense_matvec(a.T)
+    pc = diag_precnd(jnp.diagonal(a))
+    opts = SolverOptions(n_targ=2, n_max=2, max_iter=40, tol=1e-7,
+                         max_dav=8)
+    g = jnp.zeros((2, 64), jnp.float64)
+
+    run_dev = jax.jit(lambda g, k: nonsym(mv, mv_l, pc, g, opts, side="r",
+                                          key=k, driver="device"))
+    res_dev = run_dev(g, jax.random.PRNGKey(3))
+    assert bool(res_dev.ok)
+    # same closures, host driver, OUTSIDE jit: must not see dev tracers
+    res_host = nonsym(mv, mv_l, pc, g, opts, side="r",
+                      key=jax.random.PRNGKey(3), driver="host")
+    assert bool(res_host.ok)
+    np.testing.assert_allclose(np.asarray(res_dev.eig[:2]),
+                               np.asarray(res_host.eig[:2]), atol=1e-6)
+
+
 def test_bsr_nonsym_similarity_matches_dense_oracle():
     """The flagship-scale similarity operator (variant-4 construction on
     sliced BSR stores, problems.bsr_nonsym_similarity) must match its
