@@ -299,35 +299,10 @@ def section_caslr():
     g = jnp.zeros((n_eig, 2 * n), jnp.float64)
 
     # operators passed as jit ARGUMENTS — closing over them bakes the
-    # multi-GB slice stores into the program as constants (DESIGN.md §6).
-    # The two ladder tiers are jitted as SEPARATE programs: the TPU AOT
-    # compiler SIGABRTs (shape.h Check failed: buffer != nullptr) on the
-    # combined f32+f64 LR-ladder program, while each tier alone compiles
-    # (same ladder semantics as solvers/mixed.py caslr_eff_ladder; the
-    # f64 stage re-B-orthonormalizes the warm start, so splitting the jit
-    # changes nothing numerically).
-    import dataclasses
-
-    from diaglib_tpu.solvers import caslr_eff
-
-    lo_opts = dataclasses.replace(opts, tol=max(opts.tol, 2e-6), max_iter=60)
-
-    def _stage(stage_opts, tier):
-        def f(apb, amb, g, k):
-            ops = casida_tdscf_ops(apb, amb)[tier]
-            return caslr_eff(ops.apbmul, ops.ambmul, ops.spdmul, ops.smdmul,
-                             ops.lrprec, g, stage_opts, key=k)
-        return _sjit(f)
-
-    run_lo = _stage(lo_opts, 0)
-    run_hi = _stage(opts, 1)
-
-    def run(apb, amb, g, k):
-        lo = run_lo(apb, amb, g.astype(jnp.float32), k)
-        hi = run_hi(apb, amb, lo.evec.astype(jnp.float64), k)
-        return dataclasses.replace(hi, n_iter=lo.n_iter + hi.n_iter,
-                                   n_matvec=lo.n_matvec + hi.n_matvec)
-
+    # multi-GB slice stores into the program as constants (DESIGN.md §6)
+    run = _sjit(lambda apb, amb, g, k: caslr_eff_ladder(
+        *casida_tdscf_ops(apb, amb), g, opts, lo_tol=2e-6, lo_iter=60,
+        key=k))
     t0 = time.time()
     res = jax.block_until_ready(run(apb, amb, g, jax.random.PRNGKey(1)))
     log(f"caslr_eff ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
@@ -416,12 +391,14 @@ def section_toy_lr():
                spdmul=dense_matvec(blk["spd"]),
                smdmul=dense_matvec(blk["smd"]))
 
+    # algorithm=0 (inverse pencil, the reference's i_alg default) is also
+    # caslr's default; algorithm=1 is the Helmich-Paris SVD scheme
     run_c = _sjit(lambda g, k: caslr(
-        lrprec=pc_std, evec_guess=g, options=opts, **ops))
-    steady("caslr", run_c, lambda k: (glr, k))
-    run_c0 = _sjit(lambda g, k: caslr(
         lrprec=pc_std, evec_guess=g, options=opts, algorithm=0, **ops))
-    steady("caslr_alg0", run_c0, lambda k: (glr, k))
+    steady("caslr", run_c, lambda k: (glr, k))
+    run_c1 = _sjit(lambda g, k: caslr(
+        lrprec=pc_std, evec_guess=g, options=opts, algorithm=1, **ops))
+    steady("caslr_hp", run_c1, lambda k: (glr, k))
     run_e = _sjit(lambda g, k: caslr_eff(
         lrprec=pc_eff, evec_guess=g, options=opts, **ops))
     steady("caslr_eff", run_e, lambda k: (glr, k))
@@ -535,27 +512,13 @@ def section_gen_flagship():
     g = jnp.zeros((n_eig, n), jnp.float64)
     f32 = jnp.float32
 
-    # per-tier jit programs (same ladder semantics as mixed.py
-    # gen_david_ladder): the TPU AOT compiler SIGABRTs on the combined
-    # f32+f64 generalized-ladder program, each tier alone compiles
-    import dataclasses
-
-    from diaglib_tpu.solvers import gen_david
-
-    lo_opts = dataclasses.replace(opts, tol=max(opts.tol, 2e-6), max_iter=60)
-    run_lo = _sjit(lambda a, b, g, k: gen_david(
-        sliced_bsr_matvec(a, dtype=f32), diag_precnd(a.diagonal.astype(f32)),
-        sliced_bsr_matvec(b, dtype=f32), g, lo_opts, key=k))
-    run_hi = _sjit(lambda a, b, g, k: gen_david(
+    run = _sjit(lambda a, b, g, k: gen_david_ladder(
+        sliced_bsr_matvec(a, dtype=f32),
+        diag_precnd(a.diagonal.astype(f32)),
+        sliced_bsr_matvec(b, dtype=f32),
         sliced_bsr_matvec(a), diag_precnd(a.diagonal),
-        sliced_bsr_matvec(b), g, opts, key=k))
-
-    def run(a, b, g, k):
-        lo = run_lo(a, b, g.astype(f32), k)
-        hi = run_hi(a, b, lo.evec.astype(jnp.float64), k)
-        return dataclasses.replace(hi, n_iter=lo.n_iter + hi.n_iter,
-                                   n_matvec=lo.n_matvec + hi.n_matvec)
-
+        sliced_bsr_matvec(b),
+        g, opts, lo_tol=2e-6, lo_iter=60, key=k))
     t0 = time.time()
     res = jax.block_until_ready(run(a, b, g, jax.random.PRNGKey(1)))
     log(f"gen_david ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "

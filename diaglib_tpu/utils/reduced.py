@@ -73,6 +73,14 @@ def eigh(a, method: str = "device"):
 def svd(a, method: str = "device"):
     method = resolve(method)
     if method == "device":
+        if a.dtype == jnp.float32 and jax.default_backend() == "tpu":
+            # the TPU AOT compiler SIGABRTs (shape.h Check failed:
+            # buffer != nullptr) lowering jnp.linalg.svd for FLOAT32 at
+            # any size — f64 lowers fine.  Root-caused round 3 (this was
+            # the crash behind every f32-tier LR/generalized ladder and
+            # the round-2 bench SIGABRT); the Brent-Luk Jacobi SVD is the
+            # TPU-native escape.  See DESIGN.md §6.
+            return _jacobi.jacobi_svd(a)
         return jnp.linalg.svd(a)
     if method == "jacobi":
         return _jacobi.jacobi_svd(a)

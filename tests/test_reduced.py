@@ -131,3 +131,28 @@ def test_jacobi_tiny_sizes():
     np.testing.assert_allclose(np.asarray(w1), [4.0], atol=1e-14)
     u, s, vt = jacobi_svd(jnp.asarray([[-3.0]]))
     np.testing.assert_allclose(np.asarray(s), [3.0], atol=1e-14)
+
+
+def test_f32_svd_routes_and_matches():
+    """TPU f32 jnp.linalg.svd crashes the AOT compiler (DESIGN.md §6), so
+    reduced.svd must produce correct f32 results through whatever path the
+    backend routing picks — pinned against the f64 oracle here, and the
+    Jacobi path (the TPU f32 route) checked explicitly."""
+    import numpy as np
+
+    from diaglib_tpu.utils import jacobi, reduced
+
+    rng = np.random.default_rng(7)
+    a64 = rng.standard_normal((15, 15))
+    a32 = jnp.asarray(a64, jnp.float32)
+    s_ref = np.linalg.svd(a64, compute_uv=False)
+
+    u, s, vt = reduced.svd(a32)
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=2e-5)
+    rec = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+    np.testing.assert_allclose(rec, a64, atol=2e-5 * s_ref[0])
+
+    uj, sj, vtj = jacobi.jacobi_svd(a32)
+    np.testing.assert_allclose(np.asarray(sj), s_ref, rtol=2e-4)
+    recj = np.asarray(uj) @ np.diag(np.asarray(sj)) @ np.asarray(vtj)
+    np.testing.assert_allclose(recj, a64, atol=2e-4 * s_ref[0])
