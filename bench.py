@@ -249,6 +249,12 @@ def section_flagship():
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
         lo_tol=2e-6, lo_iter=35, key=k))
 
+    # wide-rotation kernel ON for the davidson ladder (validated: 0.62 s
+    # vs 0.94 s, exact to 1.7e-15 rel) — read at TRACE time (utils/mm.py).
+    # The lobpcg ladder stays on the emulated rotations: its program holds
+    # more wide outputs live at once and still tips the VMEM-MSA cliff
+    # (DESIGN.md §6).
+    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
     t0 = time.time()
     res = jax.block_until_ready(run(ms, g, jax.random.PRNGKey(1)))
     log(f"davidson ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
@@ -263,7 +269,9 @@ def section_flagship():
     f64_iters = int(jnp.sum(jnp.isfinite(res.rms_history[:, 0])))
     emit(METRIC, dt, "s", ok=ok, iters=int(res.n_iter), f64_iters=f64_iters)
 
-    # LOBPCG ladder on the same operator/tolerances
+    # LOBPCG ladder on the same operator/tolerances (wide rotations OFF —
+    # see note above; env is read when the next line first traces)
+    os.environ["DIAGLIB_TPU_WIDE_MM"] = "never"
     run_l = _sjit(lambda ms, g, k: lobpcg_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),

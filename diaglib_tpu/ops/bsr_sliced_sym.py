@@ -285,8 +285,13 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
             interpret=interpret,
+            # headroom beyond the resident set covers the double-buffered
+            # entry blocks + semaphores; keep it TIGHT — every scoped MB
+            # is VMEM that XLA's memory-space-assignment can no longer
+            # give to promoted buffers elsewhere in the program, and the
+            # flagship programs sit close to that cliff (utils/compile.py)
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=resident + 24 * 1024 * 1024),
+                vmem_limit_bytes=resident + 8 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=4 * m.nnzb_stored * nx * k * B * na_used * B,
                 bytes_accessed=m.nnzb_stored * B * na_used * B

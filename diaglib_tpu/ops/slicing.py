@@ -454,12 +454,18 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
         mid = jnp.where(jnp.isfinite(mid), mid, 0.0)
         lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
 
-    # tile: double-buffered 3 f32 input panels + in-register level
-    # accumulators (nlev int32 + triple-f32 out) in 16 MB
+    # lane-tile working set (bytes per lane), measured against the 16 MB
+    # scoped VMEM stack (the compiler reported 18.06M at tile=2048,
+    # K=168, m=15 with the old 12*kdim+4*nlev*m model):
+    #   3 f32 input panels double-buffered        24*kdim
+    #   in-kernel peel remainders (3 f32 copies)  12*kdim
+    #   int32 level accumulators                   4*nlev*m
+    #   dot products in flight (2x int32)          8*ns*m
+    #   triple-f32 combine temps + out (2x)       ~40*m
+    per_lane = 36 * kdim + 4 * nlev * m + 8 * ns * m + 40 * m
     tile = None
     for cand in (2048, 1024, 512, 256):
-        if n % cand == 0 and 2 * cand * (12 * kdim + 4 * nlev * m) <= (
-                12 * 1024 * 1024):
+        if n % cand == 0 and cand * per_lane <= 14 * 1024 * 1024:
             tile = cand
             break
     if tile is None:
