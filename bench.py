@@ -307,7 +307,9 @@ def section_caslr():
     g = jnp.zeros((n_eig, 2 * n), jnp.float64)
 
     # operators passed as jit ARGUMENTS — closing over them bakes the
-    # multi-GB slice stores into the program as constants (DESIGN.md §6)
+    # multi-GB slice stores into the program as constants (DESIGN.md §6).
+    # Wide rotation kernel ON (validated: 1.02 vs 1.35 s, ok=true).
+    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
     run = _sjit(lambda apb, amb, g, k: caslr_eff_ladder(
         *casida_tdscf_ops(apb, amb), g, opts, lo_tol=2e-6, lo_iter=60,
         key=k))
@@ -475,7 +477,10 @@ def section_nonsym_flagship():
                          max_dav=10)
     g = jnp.zeros((n_want, n), jnp.float64)
 
-    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6)
+    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6).
+    # Wide rotation kernel ON (validated: 3.96 vs 4.28 s, ok=true).
+    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
+
     def run(stores, g, k):
         mv32, mvl32 = nonsym_similarity_ops(stores, dtype=jnp.float32)
         mv64, mvl64 = nonsym_similarity_ops(stores, dtype=jnp.float64)
@@ -520,6 +525,8 @@ def section_gen_flagship():
     g = jnp.zeros((n_eig, n), jnp.float64)
     f32 = jnp.float32
 
+    # wide rotation kernel ON (validated: 1.35 vs 1.90 s, ok=true)
+    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
     run = _sjit(lambda a, b, g, k: gen_david_ladder(
         sliced_bsr_matvec(a, dtype=f32),
         diag_precnd(a.diagonal.astype(f32)),
