@@ -8,6 +8,7 @@ numerically hardened orthogonalization kernels.
 """
 
 from . import config, ortho, utils
+from .utils.compile import safe_jit, tpu_compiler_options
 from .types import (
     LROps,
     LRSolverResult,

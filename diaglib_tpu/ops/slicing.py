@@ -446,13 +446,6 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
     d = t - hi.astype(jnp.float64)
     mid = d.astype(jnp.float32)
     lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
-    import os
-    if os.environ.get("DIAGLIB_TPU_WIDE_SANITIZE"):
-        # experiment: zero non-finite lanes before the in-kernel f32->int8
-        # peel (Mosaic converts of NaN/Inf are suspected to fault)
-        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
-        mid = jnp.where(jnp.isfinite(mid), mid, 0.0)
-        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
 
     # lane-tile working set (bytes per lane), measured against the 16 MB
     # scoped VMEM stack (the compiler reported 18.06M at tile=2048,
