@@ -54,7 +54,7 @@ SECTIONS = [
     ("spmm", 600, None),
     ("caslr", 1200, None),
     ("gen_flagship", 1200, None),
-    ("nonsym_flagship", 1200, None),
+    ("nonsym_flagship", 1800, None),  # wide-kernel compile alone ~680 s
     ("nonsym_toy", 900, None),
     ("toy", 900, None),
     ("toy_lr", 900, None),
