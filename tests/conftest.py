@@ -19,6 +19,13 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: repeat suite runs re-load the heavier CPU
+# programs (solver while_loops) from disk instead of recompiling.  Only
+# entries costing >= 2 s are written, so the churn is small.
+from diaglib_tpu.config import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(min_compile_secs=2.0)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
