@@ -292,12 +292,10 @@ def section_flagship():
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
         lo_tol=2e-6, lo_iter=35, key=k))
 
-    # wide-rotation kernel ON for the davidson ladder (validated: 0.62 s
-    # vs 0.94 s, exact to 1.7e-15 rel) — read at TRACE time (utils/mm.py).
-    # The lobpcg ladder stays on the emulated rotations: its program holds
-    # more wide outputs live at once and still tips the VMEM-MSA cliff
-    # (DESIGN.md §6).
-    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
+    # wide-rotation kernel routing is option-driven now (SolverOptions
+    # wide_mm="auto" resolves per driver: ON for davidson, OFF for lobpcg
+    # whose program trips the VMEM-MSA cliff — utils/mm.py _WIDE_DEFAULTS,
+    # validated 0.62 vs 0.94 s in BENCH_r03)
     t0 = time.time()
     res = jax.block_until_ready(run(ms, g, jax.random.PRNGKey(1)))
     log(f"davidson ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
@@ -313,9 +311,8 @@ def section_flagship():
     f64_iters = int(jnp.sum(jnp.isfinite(res.rms_history[:, 0])))
     emit(METRIC, dt, "s", ok=ok, iters=int(res.n_iter), f64_iters=f64_iters)
 
-    # LOBPCG ladder on the same operator/tolerances (wide rotations OFF —
-    # see note above; env is read when the next line first traces)
-    os.environ["DIAGLIB_TPU_WIDE_MM"] = "never"
+    # LOBPCG ladder on the same operator/tolerances (wide rotations OFF
+    # via the lobpcg routing default)
     run_l = _sjit(lambda ms, g, k: lobpcg_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),
@@ -352,8 +349,8 @@ def section_caslr():
 
     # operators passed as jit ARGUMENTS — closing over them bakes the
     # multi-GB slice stores into the program as constants (DESIGN.md §6).
-    # Wide rotation kernel ON (validated: 1.02 vs 1.35 s, ok=true).
-    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
+    # Wide rotation kernel ON via the caslr_eff routing default
+    # (validated: 1.02 vs 1.35 s, ok=true).
     run = _sjit(lambda apb, amb, g, k: caslr_eff_ladder(
         *casida_tdscf_ops(apb, amb), g, opts, lo_tol=2e-6, lo_iter=60,
         key=k))
@@ -523,8 +520,8 @@ def section_nonsym_flagship():
     g = jnp.zeros((n_want, n), jnp.float64)
 
     # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6).
-    # Wide rotation kernel ON (validated: 3.96 vs 4.28 s, ok=true).
-    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
+    # Wide rotation kernel ON via the nonsym routing default
+    # (validated: 3.96 vs 4.28 s, ok=true).
 
     def run(stores, g, k):
         mv32, mvl32 = nonsym_similarity_ops(stores, dtype=jnp.float32)
@@ -571,8 +568,8 @@ def section_gen_flagship():
     g = jnp.zeros((n_eig, n), jnp.float64)
     f32 = jnp.float32
 
-    # wide rotation kernel ON (validated: 1.35 vs 1.90 s, ok=true)
-    os.environ.setdefault("DIAGLIB_TPU_WIDE_MM", "always")
+    # wide rotation kernel ON via the gen_david routing default
+    # (validated: 1.35 vs 1.90 s, ok=true)
     run = _sjit(lambda a, b, g, k: gen_david_ladder(
         sliced_bsr_matvec(a, dtype=f32),
         diag_precnd(a.diagonal.astype(f32)),

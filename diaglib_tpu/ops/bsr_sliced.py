@@ -114,11 +114,14 @@ def slice_bsr(m: BSRMatrix, na: int | None = None,
     nbr = m.n // B
     # int32 exactness guard for the DEFAULT tiers (nx <= 8; see also the
     # per-call guard in sliced_bsr_matvec for explicit nx): per-level
-    # products |q_x q_a| <= 2^{2*(_BITS-1)} summed over B * blocks_per_row
-    # * n_level_pairs terms must stay below 2^31
+    # products |q_x q_a| summed over B * blocks_per_row * n_level_pairs
+    # terms must stay below 2^31.  Budget 2*(_BITS-1)+1 bits per product:
+    # at carry-overlap levels the combined slice magnitude can exceed the
+    # nominal 2^{_BITS-1} by up to ~1.3x per operand (measured <= ~80 at
+    # _BITS=7), so the nominal 2*(_BITS-1) product budget is ~1.5x short.
     max_bpr = int(jnp.max(jnp.bincount(m.rows, length=nbr)))
     import math
-    if (2 * (_BITS - 1)
+    if (2 * (_BITS - 1) + 1
             + math.ceil(math.log2(B * max_bpr * min(na, 8)))) > 31:
         raise ValueError(
             f"block {B} x {max_bpr}/row overflows exact int32 accumulation")
@@ -326,10 +329,12 @@ def sliced_bsr_matvec(m: SlicedBSR, *, nx: int | None = None,
     nx, na_used, nlev = _tier_params(m.na, dtype, nx, nlev)
     if m.max_bpr:
         # int32 exactness for the ACTUAL tier: up to min(nx, na_used) pair
-        # products per level, summed over B * blocks_per_row terms
+        # products per level, summed over B * blocks_per_row terms.
+        # 2*(_BITS-1)+1 bits per product: carry-overlap headroom (see the
+        # build-time guard note above)
         import math
         pairs = min(nx, na_used)
-        if (2 * (_BITS - 1)
+        if (2 * (_BITS - 1) + 1
                 + math.ceil(math.log2(m.block * m.max_bpr * pairs))) > 31:
             raise ValueError(
                 f"nx={nx} x na={na_used} slices overflow exact int32 "

@@ -124,15 +124,17 @@ def slice_bsr_sym(m: BSRMatrix, na: int | None = None,
     cols = m.cols[idx]
     n_diag = int(jnp.sum(rows == cols))
     n_off = rows.shape[0] - n_diag
-    # int32 exactness guard: per-level products |q_x q_a| <= 2^{2(_BITS-1)}
-    # summed over B * (terms per output row) * pairs; each output row
-    # receives direct terms from its row's stored entries and mirror terms
-    # from its column's
+    # int32 exactness guard: per-level products |q_x q_a| summed over
+    # B * (terms per output row) * pairs; each output row receives direct
+    # terms from its row's stored entries and mirror terms from its
+    # column's.  2*(_BITS-1)+1 bits per product: at carry-overlap levels
+    # the combined slice magnitude can exceed the nominal 2^{_BITS-1} by
+    # ~1.3x per operand, so the nominal product budget is ~1.5x short.
     terms = jnp.zeros((nbr,), jnp.int32)
     terms = terms.at[rows].add(1).at[cols].add(
         jnp.where(rows != cols, 1, 0))
     max_terms = int(jnp.max(terms))
-    if (2 * (_BITS - 1)
+    if (2 * (_BITS - 1) + 1
             + math.ceil(math.log2(B * max_terms * min(na, 8)))) > 31:
         raise ValueError(
             f"block {B} x {max_terms} terms/row overflows exact int32 "

@@ -410,6 +410,39 @@ def _wide_kernel(ns_a: int, ns_b: int, nlev: int, m: int, kdim: int,
     return kern
 
 
+def _wide_tile(m: int, kdim: int, n: int, n_slices: int):
+    """Largest feasible lane tile for the wide kernel, or None.
+
+    Lane-tile working set (bytes per lane), measured against the 16 MB
+    scoped VMEM stack (the compiler reported 18.06M at tile=2048,
+    K=168, m=15 with the old 12*kdim+4*nlev*m model):
+      3 f32 input panels double-buffered        24*kdim
+      in-kernel peel remainders (3 f32 copies)  12*kdim
+      int32 level accumulators                   4*nlev*m
+      dot products in flight (2x int32)          8*ns*m
+      triple-f32 combine temps + out (2x)       ~40*m
+    """
+    nlev = min(2 * n_slices - 1, 9)
+    per_lane = 36 * kdim + 4 * nlev * m + 8 * n_slices * m + 40 * m
+    for cand in (2048, 1024, 512, 256):
+        if n % cand == 0 and cand * per_lane <= 14 * 1024 * 1024:
+            return cand
+    return None
+
+
+def wide_feasible(m: int, kdim: int, n: int, n_slices: int = 8,
+                  bits: int = _WIDE_BITS) -> bool:
+    """True iff :func:`sliced_wide_mm` can run ``(m, kdim) @ (kdim, n)``:
+    the exact-int32 budget holds AND a lane tile fits the VMEM stack.
+    Routing (utils/mm.py) must consult this instead of letting the kernel
+    raise at trace time (round-3 advisor finding: K >~ 1450 has no
+    feasible tile at the minimum 256-lane candidate)."""
+    kp = kdim + ((-kdim) % 8)
+    if kp * (1 << (2 * (bits - 1) + 1)) > (1 << 31):
+        return False
+    return _wide_tile(m, kp, n, n_slices) is not None
+
+
 def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
                    interpret: bool = False):
     """Exact f64 ``a @ b`` for SMALL-K, WIDE-output contractions.
@@ -427,7 +460,9 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
     m, kdim = a.shape
     k2, n = b.shape
     assert kdim == k2
-    if kdim * (1 << (2 * (bits - 1))) > (1 << 31):
+    # 2*(bits-1)+1 bits per product: carry-overlap levels exceed the
+    # nominal 2^{bits-1} per-operand magnitude by ~1.3x (advisor r3)
+    if kdim * (1 << (2 * (bits - 1) + 1)) > (1 << 31):
         raise ValueError(f"K={kdim} overflows exact int32 accumulation")
     ns = n_slices
     nlev = min(2 * ns - 1, 9)
@@ -447,20 +482,7 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
     mid = d.astype(jnp.float32)
     lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
 
-    # lane-tile working set (bytes per lane), measured against the 16 MB
-    # scoped VMEM stack (the compiler reported 18.06M at tile=2048,
-    # K=168, m=15 with the old 12*kdim+4*nlev*m model):
-    #   3 f32 input panels double-buffered        24*kdim
-    #   in-kernel peel remainders (3 f32 copies)  12*kdim
-    #   int32 level accumulators                   4*nlev*m
-    #   dot products in flight (2x int32)          8*ns*m
-    #   triple-f32 combine temps + out (2x)       ~40*m
-    per_lane = 36 * kdim + 4 * nlev * m + 8 * ns * m + 40 * m
-    tile = None
-    for cand in (2048, 1024, 512, 256):
-        if n % cand == 0 and cand * per_lane <= 14 * 1024 * 1024:
-            tile = cand
-            break
+    tile = _wide_tile(m, kdim, n, ns)
     if tile is None:
         raise ValueError(f"no valid lane tile for K={kdim}, n={n}")
     from jax.experimental import pallas as pl

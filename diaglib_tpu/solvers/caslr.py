@@ -257,6 +257,16 @@ def caslr(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
     """
     if algorithm not in (0, 1):
         raise ValueError("algorithm must be 0 or 1")
+    from ..utils.mm import routing_for
+    with routing_for(options, "caslr"):
+        return _caslr_impl(apbmul, ambmul, spdmul, smdmul, lrprec,
+                           evec_guess, options, algorithm=algorithm, key=key,
+                           sharding=sharding)
+
+
+def _caslr_impl(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
+                options: SolverOptions, *, algorithm: int = 0, key=None,
+                sharding=None):
     from ..parallel.sharding import constrainers
 
     vec, _ = constrainers(sharding)
@@ -420,6 +430,15 @@ def caslr_eff(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
     only spdmul/smdmul run in the loop, apbmul/ambmul only when expanding.
     ``lrprec`` is called with the internal 1/w (diaglib.f90:1406-1407).
     """
+    from ..utils.mm import routing_for
+    with routing_for(options, "caslr_eff"):
+        return _caslr_eff_impl(apbmul, ambmul, spdmul, smdmul, lrprec,
+                               evec_guess, options, key=key,
+                               sharding=sharding)
+
+
+def _caslr_eff_impl(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
+                    options: SolverOptions, *, key=None, sharding=None):
     from ..parallel.sharding import constrainers
 
     vec, _ = constrainers(sharding)

@@ -313,8 +313,10 @@ def davidson(matvec, precnd, evec_guess, options: SolverOptions, *, key=None,
     ``sharding``: optional parallel.VectorSharding distributing the n axis
     over a device mesh.
     """
-    return _davidson_impl(matvec, precnd, None, evec_guess, options, key,
-                          sharding)
+    from ..utils.mm import routing_for
+    with routing_for(options, "davidson"):
+        return _davidson_impl(matvec, precnd, None, evec_guess, options, key,
+                              sharding)
 
 
 def gen_david(matvec, precnd, bvec, evec_guess, options: SolverOptions, *,
@@ -326,5 +328,7 @@ def gen_david(matvec, precnd, bvec, evec_guess, options: SolverOptions, *,
     stays a standard symmetric eigenproblem because the space is kept
     B-orthonormal (diaglib.f90:2098).
     """
-    return _davidson_impl(matvec, precnd, bvec, evec_guess, options, key,
-                          sharding)
+    from ..utils.mm import routing_for
+    with routing_for(options, "gen_david"):
+        return _davidson_impl(matvec, precnd, bvec, evec_guess, options, key,
+                              sharding)

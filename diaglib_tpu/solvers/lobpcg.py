@@ -79,6 +79,14 @@ def lobpcg(matvec, precnd, evec_guess, options: SolverOptions, *,
       key: PRNG key for the random-guess fallback.
       sharding: optional parallel.VectorSharding distributing n over a mesh.
     """
+    from ..utils.mm import routing_for
+    with routing_for(options, "lobpcg"):
+        return _lobpcg_impl(matvec, precnd, evec_guess, options, bvec=bvec,
+                            key=key, sharding=sharding)
+
+
+def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
+                 bvec=None, key=None, sharding=None):
     from ..parallel.sharding import constrainers
 
     vec, rep = constrainers(sharding)

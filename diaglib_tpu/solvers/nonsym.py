@@ -766,6 +766,15 @@ def nonsym(matvec, matvec_l, precnd, evec_guess, options: SolverOptions,
     """
     if side not in ("r", "l", "s", "c"):
         raise ValueError("side must be one of 'r', 'l', 's', 'c'")
+    from ..utils.mm import routing_for
+    with routing_for(options, "nonsym"):
+        return _nonsym_impl(matvec, matvec_l, precnd, evec_guess, options,
+                            side, key=key, sharding=sharding, driver=driver)
+
+
+def _nonsym_impl(matvec, matvec_l, precnd, evec_guess,
+                 options: SolverOptions, side: str, *, key=None,
+                 sharding=None, driver: str = "auto"):
     if key is None:
         key = jax.random.PRNGKey(0)
     kr, kl = jax.random.split(key)

@@ -79,6 +79,17 @@ class SolverOptions:
               ``reporting.print_convergence_table``).  Requires a runtime
               with host debug callbacks (standard CPU/GPU/Cloud-TPU; some
               experimental PJRT plugins lack them).
+    wide_mm:  routing for the int8-MXU wide-rotation kernel
+              (ops/slicing.py sliced_wide_mm) on TPU f64 programs:
+              "auto" (per-driver validated default — ON for davidson /
+              gen_david / caslr / caslr_eff / nonsym, OFF for lobpcg whose
+              program composition trips the VMEM-MSA overflow,
+              utils/compile.py), "always", "never".  Trace-time; because
+              it lives on SolverOptions it keys jit caches correctly
+              (unlike the emergency DIAGLIB_TPU_WIDE_MM env override).
+    sliced_mm: routing for the Ozaki integer-sliced long-contraction path
+              (utils/mm.py): "auto" (TPU f64 with K >= 8192), "always",
+              "never".
     """
 
     n_targ: int
@@ -89,6 +100,8 @@ class SolverOptions:
     shift: float = 0.0
     reduced_solver: str = "auto"
     verbose: bool = False
+    wide_mm: str = "auto"
+    sliced_mm: str = "auto"
 
     def __post_init__(self):
         if self.n_max < self.n_targ:

@@ -23,11 +23,15 @@ dtypes and short contractions they reduce to a single scaled matmul.
 On TPU, long f64 contractions additionally dispatch to the Ozaki
 integer-sliced path (ops/slicing.py): exact int8-MXU slice products beat
 the chunked emulated-f64 scan (measured 1.3x+ at K=65536 on v5e) at equal
-or better accuracy (no rounding inside the contraction at all).  Set
-``DIAGLIB_TPU_SLICED_MM=always|never`` to override the auto dispatch
-(``always`` is how the CPU test suite exercises the sliced route).  The
-variable is read at trace time: jit caches do not key on env vars, so set
-it before the first compilation of a solver.
+or better accuracy (no rounding inside the contraction at all).
+
+Routing is FIRST-CLASS CONFIG: solvers enter :class:`mm_routing` via
+:func:`routing_for` from ``SolverOptions.wide_mm`` / ``.sliced_mm``
+("auto" resolves to validated per-driver defaults, ``_WIDE_DEFAULTS``).
+Because options are hashable jit statics, routing keys jit caches
+correctly.  The ``DIAGLIB_TPU_SLICED_MM`` / ``DIAGLIB_TPU_WIDE_MM`` env
+vars remain as EMERGENCY overrides only (read at trace time; jit caches
+do not key on them — set before the first compilation or not at all).
 """
 
 from __future__ import annotations
@@ -37,13 +41,77 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mm", "mmT", "mTm"]
+__all__ = ["mm", "mmT", "mTm", "mm_routing", "routing_for"]
 
 _CHUNK = 4096
 _SLICED_MIN_K = 8192
 
 # trace-time call-site tag for wide-route bisection (DIAGLIB_TPU_WIDE_SITES)
 _wide_site = "untagged"
+
+# trace-time routing state set by solvers from SolverOptions (mm_routing /
+# routing_for).  None = unset; the DIAGLIB_TPU_* env vars, when SET,
+# override it (emergency escape hatch); otherwise the hard-coded "auto"
+# defaults apply.  Because routing now rides SolverOptions (a hashable jit
+# static), two solver calls differing only in routing produce different
+# traces — the env-var jit-cache footgun is gone for option-driven use.
+_ROUTING = {"wide": None, "sliced": None}
+
+# per-driver wide-kernel defaults for SolverOptions.wide_mm == "auto"
+# (validated on v5e, BENCH_r03): ON for the davidson/gen_david/caslr/
+# caslr_eff/nonsym programs; OFF for lobpcg, whose program holds more wide
+# outputs live at once and trips the VMEM-MSA overflow (utils/compile.py)
+_WIDE_DEFAULTS = {
+    "davidson": "always",
+    "gen_david": "always",
+    "caslr": "always",
+    "caslr_eff": "always",
+    "nonsym": "always",
+    "lobpcg": "never",
+}
+
+
+class mm_routing:
+    """Trace-time kernel-routing context (wide / sliced contraction paths).
+
+    ``wide`` / ``sliced``: "always" | "never" | "auto" | None (= leave as
+    is).  Solvers enter this around their trace via :func:`routing_for`;
+    tests may use it directly.
+    """
+
+    def __init__(self, wide=None, sliced=None):
+        self.wide, self.sliced = wide, sliced
+
+    def __enter__(self):
+        self.prev = dict(_ROUTING)
+        if self.wide is not None:
+            _ROUTING["wide"] = self.wide
+        if self.sliced is not None:
+            _ROUTING["sliced"] = self.sliced
+        return self
+
+    def __exit__(self, *a):
+        _ROUTING.clear()
+        _ROUTING.update(self.prev)
+
+
+def routing_for(options, driver: str) -> "mm_routing":
+    """Routing context for a solver ``driver`` ("davidson", "lobpcg", ...)
+    honoring ``options.wide_mm`` / ``options.sliced_mm`` ("auto" resolves
+    to the per-driver validated default)."""
+    wide = getattr(options, "wide_mm", "auto")
+    if wide == "auto":
+        wide = _WIDE_DEFAULTS.get(driver, "never")
+    sliced = getattr(options, "sliced_mm", "auto")
+    return mm_routing(wide=wide,
+                      sliced=None if sliced == "auto" else sliced)
+
+
+def _mode(env_name: str, key: str, default: str = "auto") -> str:
+    env = os.environ.get(env_name)
+    if env:
+        return env
+    return _ROUTING[key] or default
 
 
 class wide_site:
@@ -63,10 +131,10 @@ class wide_site:
 
 
 def _use_sliced(dtype, k):
-    # NOTE: read at TRACE time — jit caches do not key on env vars, so
-    # changing DIAGLIB_TPU_SLICED_MM after a solver is compiled has no
-    # effect on the cached executable
-    mode = os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto")
+    # NOTE: resolved at TRACE time — route via SolverOptions
+    # (sliced_mm="always"/"never") so the setting keys the jit cache; the
+    # env var DIAGLIB_TPU_SLICED_MM is an emergency override only
+    mode = _mode("DIAGLIB_TPU_SLICED_MM", "sliced")
     if mode == "never":
         return False
     from ..ops.slicing import fits_exact
@@ -82,22 +150,26 @@ def _use_wide(dtype, k, m, n):
     length) to the level-folded int8 kernel: the emulated-f64 matmul
     costs ~7 ms at (15, 165) x (165, 65536) on v5e, the sliced kernel
     ~1 ms at the same exactness."""
-    if os.environ.get("DIAGLIB_TPU_SLICED_MM", "auto") == "never":
+    if _mode("DIAGLIB_TPU_SLICED_MM", "sliced") == "never":
         return False
-    mode = os.environ.get("DIAGLIB_TPU_WIDE_MM", "auto")
+    mode = _mode("DIAGLIB_TPU_WIDE_MM", "wide")
     if mode == "never":
         return False
     if mode == "auto":
-        # default OFF: the kernel itself is correct (isolated + composed
-        # repros pass), but its 35 MB int32 outputs are prime targets for
-        # XLA's VMEM memory-space-assignment, whose oversubscription next
-        # to the sliced SpMM's scoped reservation crashes the v5e worker
-        # (see utils/compile.py).  Opt in with DIAGLIB_TPU_WIDE_MM=always
-        # together with DIAGLIB_TPU_NO_VMEM_MSA=1.
+        # bare-call default OFF: the kernel is correct, but program
+        # composition decides whether XLA's VMEM memory-space-assignment
+        # oversubscribes next to its outputs and crashes the v5e worker
+        # (utils/compile.py).  Solvers turn it on per driver through
+        # routing_for(options, driver) with validated defaults.
         return False
     use = (dtype == jnp.float64 and jax.default_backend() == "tpu"
-           and k <= 4096 and m <= 1024 and n >= 8192
-           and n % 256 == 0 and k * (1 << 12) < (1 << 31))
+           and k <= 4096 and m <= 1024 and n >= 8192 and n % 256 == 0)
+    if use:
+        # same feasibility computation the kernel runs: shapes with no
+        # valid lane tile (K >~ 1450) or int32-overflow risk fall back to
+        # the chunked emulated path instead of raising at trace time
+        from ..ops.slicing import wide_feasible
+        use = wide_feasible(m, k, n)
     if use and mode.startswith("kmin:"):
         use = k >= int(mode[5:])
     elif use and mode.startswith("kmax:"):
