@@ -615,6 +615,8 @@ def section_scaling():
                          max_dav=10)
     g = jnp.zeros((n_eig, n), jnp.float64)
     mv, pc = dense_matvec(a), diag_precnd(jnp.diagonal(a))
+    from diaglib_tpu.profiling import collective_inventory
+
     devices = jax.devices()
     base = None
     for d in (1, 2, 4, 8):
@@ -628,9 +630,19 @@ def section_scaling():
             run, lambda k: (g, k), jax.random.PRNGKey(1),
             [jax.random.PRNGKey(2 + i) for i in range(3)])
         base = base or dt
+        # wall on a shared-core virtual CPU mesh is machine-load noise —
+        # informational only; the deterministic regression signal is the
+        # compiled collective inventory below (round-3 verdict item #8)
         emit(f"scaling_davidson_d{d}_ms", dt * 1e3, "ms", ok=ok,
              iters=int(res.n_iter),
-             overhead_vs_d1=round(dt / base, 3))
+             overhead_vs_d1=round(dt / base, 3), informational=True)
+        if d > 1:
+            txt = run.lower(g, jax.random.PRNGKey(1)).compile().as_text()
+            inv = collective_inventory(txt)
+            emit(f"scaling_collectives_d{d}",
+                 sum(r["count"] for r in inv.values()), "collectives",
+                 **{k.replace("-", "_"): v["count"] for k, v in inv.items()},
+                 bytes_total=sum(r["bytes"] for r in inv.values()))
 
 
 SECTION_FNS = {

@@ -501,7 +501,13 @@ def _caslr_eff_impl(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
                 # the LARGEST here, diaglib.f90:1309-1312)
                 pad = -(jnp.max(jnp.sum(jnp.abs(sts), axis=1)) + 1.0)
                 sts = sts + jnp.diag(jnp.where(col_ok[:L], 0.0, pad))
-                e_red, c_full = reduced.eigh(sts, options.reduced_solver)
+                # adaptive Jacobi off-norm target (davidson.py note); the
+                # s^T s spectrum maps to eigenvalues via sqrt+invert, so
+                # use an extra order of margin vs the symmetric drivers
+                prev_rms = jnp.min(jnp.where(~s.done, s.rms, jnp.inf))
+                off_tol = jnp.clip(1e-3 * prev_rms, 0.0, 1e-5)
+                e_red, c_full = reduced.eigh(sts, options.reduced_solver,
+                                             off_tol=off_tol)
                 iw = jnp.sqrt(jnp.abs(e_red[::-1][:n_max]))  # 1/w, descending
                 u = jnp.pad(c_full[:, ::-1][:, :n_max],
                             ((0, lda_pad - L), (0, 0)))

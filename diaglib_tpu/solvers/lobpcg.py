@@ -176,8 +176,15 @@ def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
 
         mask = jnp.concatenate([jnp.ones((n_max,), bool), p_valid, w_mask])
         g = mmT(s.space, aspace)
+        # adaptive Jacobi off-norm target: intermediate reduced solves only
+        # need ~2 orders below the current residual (see davidson.py note;
+        # measured 3.6 -> 2.4 ms at L=60 f64 on v5e)
+        prev_rms = jnp.min(jnp.where(~s.done, s.rms, jnp.inf))
+        scale_t = jnp.maximum(jnp.max(jnp.abs(s.eig)), 1.0)
+        off_tol = jnp.clip(0.01 * prev_rms / scale_t, 0.0, 1e-5)
         e_red, c_full = masked_eigh(0.5 * (g + g.T), mask,
-                                    method=options.reduced_solver)
+                                    method=options.reduced_solver,
+                                    off_tol=off_tol)
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (3*n_max, n_max)
 

@@ -45,11 +45,14 @@ def rank_argsort(w, descending: bool = False):
     return jnp.zeros((L,), jnp.int32).at[rank].set(idx.astype(jnp.int32))
 
 
-def _jacobi_sweeps(a, v, max_sweeps: int):
-    """Run Jacobi sweeps until the off-diagonal norm reaches eps*||A|| in
-    the working dtype (or max_sweeps).  ``v`` accumulates rotations on the
-    right; both carry the tournament layout, which is a permutation of the
-    identity and gets undone by the caller's final sort.
+def _jacobi_sweeps(a, v, max_sweeps: int, off_tol: float = 0.0):
+    """Run Jacobi sweeps until the off-diagonal norm reaches
+    ``max(eps, off_tol) * ||A||`` in the working dtype (or max_sweeps).
+    ``v`` accumulates rotations on the right; both carry the tournament
+    layout, which is a permutation of the identity and gets undone by the
+    caller's final sort.  ``off_tol``: relative off-norm target; solvers
+    that only need the reduced eigensolve a few orders below their own
+    residual tolerance pass e.g. 1e-13 to save the last polish sweep.
 
     Brent-Luk parallel ordering: in each round, physical row i is paired
     with physical row i + L/2 (all L/2 rotations are disjoint and applied
@@ -65,7 +68,10 @@ def _jacobi_sweeps(a, v, max_sweeps: int):
     dtype = a.dtype
     eps = jnp.finfo(dtype).eps
     anorm = jnp.linalg.norm(a)
-    tol = eps * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
+    # off_tol may be a TRACED scalar: solvers adapt it per iteration to
+    # their current residual level (loose early, machine-eps at the end)
+    rel = jnp.maximum(jnp.asarray(off_tol, dtype), eps)
+    tol = rel * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
     eye = jnp.eye(L, dtype=bool)
 
     def offnorm(m):
@@ -142,7 +148,8 @@ def _jacobi_sweeps(a, v, max_sweeps: int):
     return m, v
 
 
-def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True):
+def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True,
+                v0=None, off_tol: float = 0.0):
     """Eigendecomposition of a symmetric matrix by cyclic Jacobi.
 
     Returns (w, v) with w ascending and columns of v the eigenvectors,
@@ -153,27 +160,51 @@ def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True):
     emulated — and the result seeds a float64 phase: A1 = V32^T A V32 is
     nearly diagonal, so only ~2 double-precision sweeps remain.  The final
     accuracy is set entirely by the float64 phase.
+
+    ``v0``: optional orthonormal warm-start basis (e.g. the eigenvectors
+    of a nearby matrix).  Only the single-phase path uses it (measured on
+    v5e, L=165: pure-f32 solves drop 12.4 -> 9.9 ms; the MIXED path with a
+    pre-rotation measured 2.7x SLOWER than cold, because the appended-
+    block structure of growing solver matrices keeps the rotated off-norm
+    at ~0.4 so the f32 sweep count barely drops while the extra
+    compose/rotate matmuls are pure overhead — the mixed path therefore
+    ignores v0).  ``off_tol``: relative off-diagonal target, may be a
+    traced scalar (see _jacobi_sweeps); 0 keeps machine-precision
+    polishing.  Measured v5e cold-solve effect of off_tol=1e-5:
+    L=165 f64 16.9 -> 9.6 ms, L=120 f64 8.6 -> 5.2 ms, L=165 f32
+    12.4 -> 9.9 ms.
     """
     L0 = a.shape[-1]
     dtype = a.dtype
     L = L0 + (L0 % 2)  # pad odd dimensions with a decoupled unit row/col
     if L != L0:
         a = jnp.pad(a, ((0, 1), (0, 1)))
+        if v0 is not None:
+            v0 = jnp.pad(v0, ((0, 1), (0, 1)))
+            v0 = v0.at[L0, L0].set(1.0)
 
     if mixed_precision and dtype == jnp.float64:
+        # v0 deliberately unused here — see the docstring measurement
         a32 = a.astype(jnp.float32)
         m32, v32 = _jacobi_sweeps(a32, jnp.eye(L, dtype=jnp.float32),
                                   max_sweeps)
-        v0 = v32.astype(jnp.float64)
-        # re-orthonormalize the f32 basis (two Newton steps of the polar
-        # iteration, error eps32 -> eps32^4) so the f64 phase starts from
-        # an orthogonal V
+        vv = v32.astype(jnp.float64)
+        # re-orthonormalize the f32-accurate basis (two Newton steps of the
+        # polar iteration, error eps32 -> eps32^4) so the f64 phase starts
+        # from an orthogonal V
         for _ in range(2):
-            v0 = 1.5 * v0 - 0.5 * mm(v0, mTm(v0, v0))
-        a1 = mTm(v0, mm(a, v0))
-        m, v = _jacobi_sweeps(0.5 * (a1 + a1.T), v0, max_sweeps)
+            vv = 1.5 * vv - 0.5 * mm(vv, mTm(vv, vv))
+        a1 = mTm(vv, mm(a, vv))
+        m, v = _jacobi_sweeps(0.5 * (a1 + a1.T), vv, max_sweeps,
+                              off_tol=off_tol)
     else:
-        m, v = _jacobi_sweeps(a, jnp.eye(L, dtype=dtype), max_sweeps)
+        if v0 is not None:
+            a1 = mTm(v0, mm(a, v0))
+            m, v = _jacobi_sweeps(0.5 * (a1 + a1.T), v0, max_sweeps,
+                                  off_tol=off_tol)
+        else:
+            m, v = _jacobi_sweeps(a, jnp.eye(L, dtype=dtype), max_sweeps,
+                                  off_tol=off_tol)
 
     w = jnp.diagonal(m)
     order = rank_argsort(w)

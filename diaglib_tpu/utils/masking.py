@@ -70,14 +70,16 @@ def _pad_value(a, outer):
     return jnp.max(row_sums) + 1.0
 
 
-def masked_eigh(a, mask, method: str = "device"):
+def masked_eigh(a, mask, method: str = "device", v0=None,
+                off_tol: float = 0.0):
     """eigh of the masked symmetric matrix.
 
     Returns (w, v) with the genuine eigenpairs ascending in the leading
     ``count(mask)`` positions; eigenvector columns for genuine eigenvalues are
     exactly zero on masked rows (the padded matrix is block diagonal).
     ``method`` routes the dense solve (utils.reduced): "device" | "host" |
-    "auto".
+    "auto".  ``v0``/``off_tol``: warm start + relaxed target for the
+    Jacobi route (reduced.eigh).
     """
     from . import reduced
 
@@ -85,7 +87,7 @@ def masked_eigh(a, mask, method: str = "device"):
     a_m = jnp.where(outer, a, 0.0)
     pad = _pad_value(a, outer)
     a_m = a_m + jnp.diag(jnp.where(mask, 0.0, pad))
-    return reduced.eigh(a_m, method)
+    return reduced.eigh(a_m, method, v0=v0, off_tol=off_tol)
 
 
 def prefix_buckets(full: int, lo: int):
@@ -120,7 +122,8 @@ def bucketed_switch(make, ldu, full: int, lo: int):
     return jax.lax.switch(idx, [make(L) for L in sizes], None)
 
 
-def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
+def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device",
+                         v0=None, off_tol: float = 0.0):
     """masked_eigh on the smallest prefix bucket covering ``ldu``.
 
     ``mask`` must be a PREFIX mask with population ``ldu`` (the solvers'
@@ -130,6 +133,12 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
     above-spectrum pad eigenvalues as masked diagonal entries (the pad is
     computed from the full genuine region, so the two pad families agree)
     and zero eigenvector columns.
+
+    ``v0``: optional full-width warm-start matrix — typically the previous
+    iteration's ``v`` output of this same function (zero outside its own
+    bucket).  All-zero columns inside the current bucket are replaced by
+    identity columns, which keeps the slice orthonormal when the bucket
+    grew or the previous call solved a smaller prefix.
     """
     full = a.shape[0]
     outer = mask[:, None] & mask[None, :]
@@ -137,7 +146,13 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device"):
 
     def make(L):
         def run(_):
-            w, v = masked_eigh(a[:L, :L], mask[:L], method)
+            w0 = None
+            if v0 is not None:
+                v0L = v0[:L, :L]
+                fill = jnp.sum(v0L * v0L, axis=0) == 0.0
+                w0 = v0L + jnp.diag(fill.astype(a.dtype))
+            w, v = masked_eigh(a[:L, :L], mask[:L], method, v0=w0,
+                               off_tol=off_tol)
             w_out = jnp.concatenate(
                 [w, jnp.full((full - L,), 1.0, a.dtype) * pad])
             v_out = jnp.zeros((full, full), a.dtype).at[:L, :L].set(v)

@@ -50,12 +50,15 @@ def _f64(x):
     return jnp.asarray(x, jnp.float64)
 
 
-def eigh(a, method: str = "device"):
+def eigh(a, method: str = "device", v0=None, off_tol: float = 0.0):
+    """``v0``/``off_tol``: warm-start basis and relaxed off-norm target for
+    the Jacobi route (utils/jacobi.py); ignored by the exact device/host
+    LAPACK routes, which need no warm start."""
     method = resolve(method)
     if method == "device":
         return jnp.linalg.eigh(a)
     if method == "jacobi":
-        return _jacobi.jacobi_eigh(a)
+        return _jacobi.jacobi_eigh(a, v0=v0, off_tol=off_tol)
     n = a.shape[-1]
 
     def cb(a_):

@@ -156,3 +156,63 @@ def test_f32_svd_routes_and_matches():
     np.testing.assert_allclose(np.asarray(sj), s_ref, rtol=2e-4)
     recj = np.asarray(uj) @ np.diag(np.asarray(sj)) @ np.asarray(vtj)
     np.testing.assert_allclose(recj, a64, atol=2e-4 * s_ref[0])
+
+
+def test_jacobi_eigh_warm_start_matches():
+    """Warm-started Jacobi (v0 = eigenvectors of a nearby matrix) must
+    reproduce the oracle decomposition of the perturbed matrix (round-4:
+    solvers seed each iteration's reduced solve with the previous one)."""
+    import jax
+
+    key = jax.random.PRNGKey(7)
+    L = 40
+    a = jax.random.normal(key, (L, L), jnp.float64)
+    a = jnp.tril(a) + jnp.tril(a, -1).T
+    w1, v1 = jacobi_eigh(a)
+    da = 1e-3 * jax.random.normal(jax.random.PRNGKey(8), (L, L), jnp.float64)
+    a2 = a + jnp.tril(da) + jnp.tril(da, -1).T
+    # single-phase path: the mixed path ignores v0 (see jacobi_eigh doc)
+    w2, v2 = jacobi_eigh(a2, v0=v1, mixed_precision=False)
+    w_ref = jnp.linalg.eigh(a2)[0]
+    assert float(jnp.max(jnp.abs(w2 - w_ref))) < 1e-12
+    # eigenvectors: residual check (phase-free)
+    r = a2 @ v2 - v2 * w2[None, :]
+    assert float(jnp.max(jnp.abs(r))) < 1e-11
+    # orthonormality preserved through the warm-start composition
+    err = jnp.max(jnp.abs(v2.T @ v2 - jnp.eye(L)))
+    assert float(err) < 1e-12
+
+
+def test_jacobi_eigh_off_tol_relaxed():
+    import jax
+
+    a = jax.random.normal(jax.random.PRNGKey(3), (31, 31), jnp.float64)
+    a = jnp.tril(a) + jnp.tril(a, -1).T
+    w, v = jacobi_eigh(a, off_tol=1e-13)
+    w_ref = jnp.linalg.eigh(a)[0]
+    # reduced-solve error budget: 3+ orders below a 1e-8..1e-10 solver tol
+    assert float(jnp.max(jnp.abs(w - w_ref))) < 1e-11
+    r = a @ v - v * w[None, :]
+    assert float(jnp.max(jnp.abs(r))) < 1e-10
+
+
+def test_masked_eigh_bucketed_warm_growing_prefix():
+    """The davidson usage pattern: solve a prefix, grow it by a block,
+    warm-start the next solve with the previous full-width eigenvectors
+    (zero columns auto-filled with identity)."""
+    import jax
+
+    from diaglib_tpu.utils.masking import masked_eigh_bucketed, prefix_mask
+
+    full, lo = 48, 12
+    a = jax.random.normal(jax.random.PRNGKey(5), (full, full), jnp.float64)
+    a = jnp.tril(a) + jnp.tril(a, -1).T
+    v_prev = None
+    for ldu in (10, 14, 26, 40):
+        mask = prefix_mask(full, jnp.asarray(ldu, jnp.int32))
+        w, v = masked_eigh_bucketed(a, mask, jnp.asarray(ldu, jnp.int32),
+                                    lo, method="jacobi", v0=v_prev,
+                                    off_tol=1e-13)
+        w_ref = jnp.linalg.eigh(a[:ldu, :ldu])[0]
+        assert float(jnp.max(jnp.abs(w[:ldu] - w_ref))) < 1e-10, ldu
+        v_prev = v

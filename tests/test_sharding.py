@@ -134,3 +134,40 @@ def test_collectives_in_compiled_module(mesh, problem):
     fn = jax.jit(lambda g: davidson(mv, pc, g, opts, sharding=sh))
     txt = fn.lower(jnp.zeros((N_EIG, N))).compile().as_text()
     assert "all-reduce" in txt or "all-gather" in txt or "reduce-scatter" in txt
+
+
+def test_collective_inventory_pinned(mesh, problem):
+    """Pin the collective STRUCTURE of the sharded Davidson step (round-3
+    verdict item #8): the op-kind inventory of the compiled module is the
+    machine-independent scaling regression signal — an accidental extra
+    all-gather (e.g. from a lost sharding constraint) changes it.
+
+    If an intentional solver change alters the inventory, re-record the
+    expectations below from the failure message.
+    """
+    from diaglib_tpu.profiling import collective_inventory
+
+    a, _ = problem
+    sh = VectorSharding(mesh)
+    opts = SolverOptions(n_targ=N_WANT, n_max=N_EIG, max_iter=10, tol=TOL)
+    mv, pc = dense_matvec(a), diag_precnd(jnp.diagonal(a))
+    fn = jax.jit(lambda g: davidson(mv, pc, g, opts, sharding=sh))
+    txt = fn.lower(jnp.zeros((N_EIG, N))).compile().as_text()
+    inv = collective_inventory(txt)
+    assert inv, "sharded davidson must contain collectives"
+    counts = {k: v["count"] for k, v in inv.items()}
+    # Recorded inventory of the compiled sharded Davidson program (jax
+    # 0.7.x CPU GSPMD): 7 all-reduces (Gram/rotation reductions, norms)
+    # and 3 all-gathers — the k x n VECTOR-BLOCK gathers the replicated
+    # dense test operator's matvec contraction needs (O(k*n) traffic, not
+    # the n^2 operator).  An extra collective here means a sharding
+    # constraint regressed; an intentional change re-records this pin.
+    assert counts == {"all-reduce": 7, "all-gather": 3}, counts
+    # all-gathered arrays must stay vector blocks (<= n_eig * n doubles),
+    # never operator-sized
+    ag = inv["all-gather"]
+    assert ag["bytes"] / ag["count"] <= N_EIG * N * 8, inv
+    # all-reduce traffic must stay reduced-space sized
+    lda_pad = (max(10, opts.max_dav) + 1) * N_EIG
+    ar = inv["all-reduce"]
+    assert ar["bytes"] / ar["count"] <= lda_pad * lda_pad * 8, inv
