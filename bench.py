@@ -366,6 +366,26 @@ def section_caslr():
     emit("caslr_eff_bsr_n65536_f64_wall", dt, "s", ok=ok,
          iters=int(res.n_iter), n_matvec=int(res.n_matvec))
 
+    # flagship-scale caslr S4 (algorithm=0, the reference's i_alg default;
+    # diaglib.f90:558-1022) on the same operators — 4 matvecs/iter and the
+    # half-size inverse-pencil reduced solve (round-3 verdict item #6)
+    from diaglib_tpu.solvers import caslr_ladder
+
+    run_c = _sjit(lambda apb, amb, g, k: caslr_ladder(
+        *casida_tdscf_ops(apb, amb, prec="std"), g, opts, algorithm=0,
+        lo_tol=2e-6, lo_iter=60, key=k))
+    t0 = time.time()
+    res = jax.block_until_ready(run_c(apb, amb, g, jax.random.PRNGKey(1)))
+    log(f"caslr(alg0) ladder n={n}: compile+first solve "
+        f"{time.time()-t0:.1f}s, ok={bool(res.ok)} iters={int(res.n_iter)} "
+        f"matvecs={int(res.n_matvec)}")
+    emit("caslr_compile_first_s", time.time() - t0, "s")
+    dt, res, ok = _steady(
+        run_c, lambda k: (apb, amb, g, k), jax.random.PRNGKey(1),
+        [jax.random.PRNGKey(2 + i) for i in range(3)])
+    emit("caslr_bsr_n65536_f64_wall", dt, "s", ok=ok,
+         iters=int(res.n_iter), n_matvec=int(res.n_matvec))
+
 
 def section_toy():
     """The reference's symmetric/generalized toy protocols

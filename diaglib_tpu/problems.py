@@ -228,31 +228,34 @@ def bsr_casida_tdscf(n: int, block: int, blocks_per_row: int, key,
     return ops_lo, ops_hi, diag_aa, (apb, amb)
 
 
-def casida_tdscf_ops(apb, amb, interpret: bool = False):
+def casida_tdscf_ops(apb, amb, interpret: bool = False, prec: str = "eff"):
     """(ops_lo, ops_hi) LROps tiers over existing sliced (A+B)/(A-B) stores.
 
     Jit-traceable: call INSIDE a jitted function whose arguments are the
     two sliced-store pytrees (either flavor) — closing over multi-GB
     operators instead bakes them into the program as constants
-    (DESIGN.md §6)."""
+    (DESIGN.md §6).  ``prec``: "eff" pairs the bundles with the caslr_eff
+    preconditioner (lrprec_2, called with 1/w); "std" with the caslr one
+    (lrprec_1, called with w) for the S4 driver."""
     from .ops.bsr_sliced_sym import sliced_matvec_any
     from .types import LROps
 
     n = apb.n
     diag_aa = 0.5 * (apb.diagonal + amb.diagonal)
     ident = lambda x: x  # noqa: E731 — sigma = I, delta = 0 (tdscf)
+    make_prec = lrprec_eff if prec == "eff" else lrprec_std
     ops_hi = LROps(
         apbmul=sliced_matvec_any(apb, interpret=interpret),
         ambmul=sliced_matvec_any(amb, interpret=interpret),
         spdmul=ident, smdmul=ident,
-        lrprec=lrprec_eff(diag_aa, jnp.ones((n,), jnp.float64)),
+        lrprec=make_prec(diag_aa, jnp.ones((n,), jnp.float64)),
     )
     f32 = jnp.float32
     ops_lo = LROps(
         apbmul=sliced_matvec_any(apb, dtype=f32, interpret=interpret),
         ambmul=sliced_matvec_any(amb, dtype=f32, interpret=interpret),
         spdmul=ident, smdmul=ident,
-        lrprec=lrprec_eff(diag_aa.astype(f32), jnp.ones((n,), f32)),
+        lrprec=make_prec(diag_aa.astype(f32), jnp.ones((n,), f32)),
     )
     return ops_lo, ops_hi
 

@@ -94,7 +94,8 @@ def _pad_zero(a, mask):
     return jnp.where(outer, a, 0.0)
 
 
-def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max, method):
+def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max, method,
+                            off_tol=0.0):
     """algorithm=0 reduced solve (diaglib.f90:773-803), half-size form.
 
     The reference diagonalizes the full 2L pencil S_red x = e A_red x,
@@ -118,7 +119,7 @@ def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max, method):
     lp = reduced.cholesky(ep, method)
     w = solve_triangular(lp, sz.T, lower=True)      # lp^{-1} s^T
     g = mTm(w, w)                                   # s ep^{-1} s^T
-    e2, um = reduced.eigh_gen(0.5 * (g + g.T), em, method)
+    e2, um = reduced.eigh_gen(0.5 * (g + g.T), em, method, off_tol=off_tol)
     # pads sit at e^2 = 0; the n_max largest genuine values are trailing
     e2_top = e2[::-1][:n_max]
     um_top = um[:, ::-1][:, :n_max]
@@ -130,7 +131,8 @@ def _reduced_inverse_pencil(epmat, emmat, smat, mask, n_max, method):
     return eig, up_top * inv_sqrt2, um_top * inv_sqrt2
 
 
-def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
+def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method,
+                           off_tol=0.0):
     """algorithm=1 reduced solve (diaglib.f90:805-872).
 
     SVD smat = U1 S1 V1^T; scale by S1^{-1/2}; project ep/em; Cholesky both;
@@ -140,7 +142,7 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
     """
     dtype = smat.dtype
     sz = _pad_eye(smat, mask)
-    u1, s1, vt1 = masked_svd(sz, mask, method)
+    u1, s1, vt1 = masked_svd(sz, mask, method, off_tol=off_tol)
     inv_sqrt = 1.0 / jnp.sqrt(s1)
     u1s = u1 * inv_sqrt[None, :]      # columns scaled (diaglib.f90:818)
     vt1s = vt1 * inv_sqrt[:, None]    # rows scaled   (diaglib.f90:819)
@@ -152,7 +154,7 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method):
     lp = reduced.cholesky(0.5 * (ept + ept.T), method)
     lm = reduced.cholesky(0.5 * (emt + emt.T), method)
     cmat = mTm(lm, lp)
-    u2, s2, vt2 = masked_svd(cmat, mask, method)
+    u2, s2, vt2 = masked_svd(cmat, mask, method, off_tol=off_tol)
 
     # genuine singular values occupy the leading ldu slots in descending
     # order; the reference reads them from the bottom (smallest first)
@@ -310,12 +312,19 @@ def _caslr_impl(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
         emmat = _gram_update(s.emmat, s.vm, lvm, s.ldu, s.n_act, n_max)
         smat = _gram_update(s.smat, s.vm, bvm, s.ldu, s.n_act, n_max)
 
+        # adaptive Jacobi off-norm target (see davidson.py note); the LR
+        # eigenvalue mapping adds indirection, so keep an extra order of
+        # margin like caslr_eff
+        prev_rms = jnp.min(jnp.where(~s.done, s.rms, jnp.inf))
+        off_tol = jnp.clip(1e-3 * prev_rms, 0.0, 1e-5)
         if algorithm == 0:
             solve = lambda ep, em, sz, m: _reduced_inverse_pencil(  # noqa: E731
-                ep, em, sz, m, n_max, options.reduced_solver)
+                ep, em, sz, m, n_max, options.reduced_solver,
+                off_tol=off_tol)
         else:
             solve = lambda ep, em, sz, m: _reduced_helmich_paris(  # noqa: E731
-                ep, em, sz, m, ldu_new, n_max, options.reduced_solver)
+                ep, em, sz, m, ldu_new, n_max, options.reduced_solver,
+                off_tol=off_tol)
         eig, up, um = _bucketed_reduced(solve, epmat, emmat, smat, col_ok,
                                         ldu_new, n_max, lda_pad)
 

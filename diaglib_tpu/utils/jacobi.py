@@ -225,18 +225,19 @@ def jacobi_eigh(a, max_sweeps: int = 30, mixed_precision: bool = True,
     return w, v
 
 
-def jacobi_svd(a, max_sweeps: int = 30):
+def jacobi_svd(a, max_sweeps: int = 30, off_tol: float = 0.0):
     """SVD of a square matrix via Jacobi on [[0, A^T], [A, 0]].
 
     Returns (u, s, vt) with s descending, matching jnp.linalg.svd for
     square inputs.  The augmented symmetric matrix has eigenpairs
-    (+/- sigma_i, (v_i; +/- u_i)/sqrt(2)).
+    (+/- sigma_i, (v_i; +/- u_i)/sqrt(2)).  ``off_tol`` as in jacobi_eigh
+    (may be traced).
     """
     L = a.shape[-1]
     dtype = a.dtype
     zero = jnp.zeros_like(a)
     aug = jnp.block([[zero, a.T], [a, zero]])
-    w, x = jacobi_eigh(aug, max_sweeps)
+    w, x = jacobi_eigh(aug, max_sweeps, off_tol=off_tol)
     # positive half, descending
     s = w[::-1][:L]
     xs = x[:, ::-1][:, :L]

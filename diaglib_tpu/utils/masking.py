@@ -162,7 +162,7 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device",
     return bucketed_switch(make, ldu, full, lo)
 
 
-def masked_svd(a, mask, method: str = "device"):
+def masked_svd(a, mask, method: str = "device", off_tol: float = 0.0):
     """SVD of the masked square matrix, genuine triplets leading.
 
     Masked rows/cols are padded with a diagonal strictly ABOVE the genuine
@@ -180,7 +180,7 @@ def masked_svd(a, mask, method: str = "device"):
     a_v = jnp.where(outer, a, 0.0)
     pad = jnp.sqrt(jnp.sum(a_v * a_v)) + 2.0
     a_m = a_v + jnp.diag(jnp.where(mask, 0.0, pad))
-    u, s, vt = reduced.svd(a_m, method)
+    u, s, vt = reduced.svd(a_m, method, off_tol=off_tol)
     # score ~ 1 for genuine columns (support on valid rows), ~0 for pad columns
     from .jacobi import rank_argsort
 

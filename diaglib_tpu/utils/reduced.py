@@ -73,7 +73,7 @@ def eigh(a, method: str = "device", v0=None, off_tol: float = 0.0):
     return w.astype(a.dtype), v.astype(a.dtype)
 
 
-def svd(a, method: str = "device"):
+def svd(a, method: str = "device", off_tol: float = 0.0):
     method = resolve(method)
     if method == "device":
         if a.dtype == jnp.float32 and jax.default_backend() == "tpu":
@@ -83,10 +83,10 @@ def svd(a, method: str = "device"):
             # the crash behind every f32-tier LR/generalized ladder and
             # the round-2 bench SIGABRT); the Brent-Luk Jacobi SVD is the
             # TPU-native escape.  See DESIGN.md §6.
-            return _jacobi.jacobi_svd(a)
+            return _jacobi.jacobi_svd(a, off_tol=off_tol)
         return jnp.linalg.svd(a)
     if method == "jacobi":
-        return _jacobi.jacobi_svd(a)
+        return _jacobi.jacobi_svd(a, off_tol=off_tol)
     n, m = a.shape[-2:]
     k = min(n, m)
 
@@ -124,9 +124,10 @@ def cholesky(a, method: str = "device"):
     return c.astype(a.dtype)
 
 
-def eigh_gen(s, a, method: str = "device"):
+def eigh_gen(s, a, method: str = "device", off_tol: float = 0.0):
     """Generalized symmetric pencil s x = e a x, a SPD; dsygv itype=1
-    normalization (x^T a x = I)."""
+    normalization (x^T a x = I).  ``off_tol`` relaxes the Jacobi route's
+    off-norm target (both the whitening and the pencil eigh)."""
     method = resolve(method)
     n = a.shape[-1]
     if method == "device":
@@ -141,11 +142,11 @@ def eigh_gen(s, a, method: str = "device"):
     if method == "jacobi":
         # Cholesky-free whitening: a = V D V^T -> a^{-1/2} = V D^{-1/2} V^T
         # (avoids big triangular solves; a is identity-padded SPD)
-        d, v = _jacobi.jacobi_eigh(a)
+        d, v = _jacobi.jacobi_eigh(a, off_tol=off_tol)
         inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(d, jnp.finfo(a.dtype).tiny))
         w_half = v * inv_sqrt[None, :]
         std = mTm(w_half, mm(s, w_half))
-        e, y = _jacobi.jacobi_eigh(0.5 * (std + std.T))
+        e, y = _jacobi.jacobi_eigh(0.5 * (std + std.T), off_tol=off_tol)
         return e, mm(w_half, y)
 
     def cb(s_, a_):
