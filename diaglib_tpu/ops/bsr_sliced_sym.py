@@ -61,13 +61,22 @@ __all__ = ["SymSlicedBSR", "slice_bsr_sym", "sym_sliced_matvec"]
 class SymSlicedBSR:
     """Upper-triangle int8 slice store of a SYMMETRIC BSR operator.
 
-    slices:   (nnzb_s, B, na*B) int8 — stored entries are the block
-              diagonal plus the upper triangle (r <= c), row-sorted;
+    Entries are the block diagonal plus the upper triangle (r <= c),
+    row-sorted, PARTITIONED by leading-zero plane count (per-entry plane
+    truncation): below the separable grid, an off-diagonal block with
+    max|q| < 2^-_BITS has its first slice plane exactly zero — measured on
+    the flagship SPD/Casida generators, EVERY off-diagonal entry sheds one
+    plane (1/8 of the store's bytes; the store is what the f64 SpMM is
+    HBM-bound on).
+
+    slices:   (m0, B, na*B) int8 — full-width entries (plane 0 nonzero);
               entry e holds the na slice planes of
               T_e = A(r_e, c_e)^T / (u_c ⊗ u_r) side by side.
+    slices1:  (m1, B, (na-1)*B) int8 — entries whose plane 0 is zero,
+              stored from plane 1 (their level fold is offset by 1).
     u_scale:  (n,) f64 separable power-of-two grid (see module docstring).
     diagonal: (n,) f64 main diagonal of A (for preconditioners).
-    rows/cols: (nnzb_s,) int32 block coordinates of stored entries.
+    rows/cols, rows1/cols1: (m,) int32 block coordinates per bucket.
     """
 
     slices: jax.Array
@@ -75,6 +84,9 @@ class SymSlicedBSR:
     diagonal: jax.Array
     rows: jax.Array
     cols: jax.Array
+    slices1: jax.Array
+    rows1: jax.Array
+    cols1: jax.Array
     n: int = dataclasses.field(metadata=dict(static=True))
     block: int = dataclasses.field(metadata=dict(static=True))
     na: int = dataclasses.field(metadata=dict(static=True))
@@ -83,12 +95,14 @@ class SymSlicedBSR:
 
     @property
     def nnzb_stored(self) -> int:
-        return self.slices.shape[0]
+        return self.slices.shape[0] + self.slices1.shape[0]
 
     @property
     def nnz(self) -> int:
         """LOGICAL nonzeros of the symmetric operator (both triangles)."""
-        n_diag = int(jnp.sum(self.rows == self.cols))
+        rows = jnp.concatenate([self.rows, self.rows1])
+        cols = jnp.concatenate([self.cols, self.cols1])
+        n_diag = int(jnp.sum(rows == cols))
         n_off = self.nnzb_stored - n_diag
         return (n_diag + 2 * n_off) * self.block * self.block
 
@@ -165,12 +179,31 @@ def slice_bsr_sym(m: BSRMatrix, na: int | None = None,
              cc.reshape(nchunk, chunk)))
         return out.reshape(nchunk * chunk, B, na * B)[:nnzb]
 
+    slices = build(m.blocks_t[idx], rows, cols, u2)
+
+    # per-entry plane truncation: partition by the leading plane's
+    # occupancy.  An entry whose first slice plane is exactly zero
+    # (max|q| < 2^-_BITS below the separable grid — every off-diagonal
+    # block of the flagship generators) goes to the narrow bucket with
+    # plane 0 dropped; its kernel fold is offset by one level.  Exact by
+    # construction (only all-zero planes are dropped); saves 1/8 of the
+    # store bytes the f64 SpMM is HBM-bound on.
+    planes = slices.reshape(slices.shape[0], B, na, B)
+    nzp = jnp.any(planes != 0, axis=(1, 3))          # (nnzb_s, na)
+    in_b0 = jnp.asarray(nzp[:, 0])                   # plane 0 occupied
+    keep_any = jnp.any(nzp, axis=1)                  # drop all-zero entries
+    i0 = jnp.nonzero(in_b0)[0]
+    i1 = jnp.nonzero((~in_b0) & keep_any)[0]
+
     return SymSlicedBSR(
-        slices=build(m.blocks_t[idx], rows, cols, u2),
+        slices=slices[i0],
         u_scale=u,
         diagonal=bsr_diagonal(m).astype(jnp.float64),
-        rows=rows,
-        cols=cols,
+        rows=rows[i0],
+        cols=cols[i0],
+        slices1=slices[i1][:, :, B:],
+        rows1=rows[i1],
+        cols1=cols[i1],
         n=m.n,
         block=B,
         na=na,
@@ -178,48 +211,70 @@ def slice_bsr_sym(m: BSRMatrix, na: int | None = None,
     )
 
 
-def _sym_kernel(nx: int, na: int, nlev: int, k: int, B: int):
-    """One VMEM-resident accumulator; direct + mirror folds per entry."""
+def _sym_kernel(nx: int, na: int, nlev: int, k: int, B: int,
+                plane_off: int = 0, carry_in: bool = False, pack: int = 1):
+    """One VMEM-resident accumulator; direct + mirror folds per entry.
 
-    def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
+    ``na`` counts the planes STORED for this bucket; ``plane_off`` is the
+    original plane index of the bucket's first stored plane (per-entry
+    plane truncation — the dropped leading planes are exactly zero).
+    ``carry_in``: the accumulator continues a previous bucket's output
+    (passed as an aliased extra input) instead of starting from zero.
+    ``pack``: entries processed per grid step — the per-step fixed cost
+    measured ~2.9 us on v5e (576 steps = 1.7 ms of the 4 ms flagship
+    matvec), so fewer, fatter steps buy real bandwidth.
+    """
+
+    def body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
         e = pl.program_id(0)
+        for p in range(pack):
+            r = rows_ref[e * pack + p]
+            c = cols_ref[e * pack + p]
+            blk = blk_ref[p]                                 # (B, na*B)
 
-        @pl.when(e == 0)
-        def _():
-            acc_ref[:, :] = jnp.zeros_like(acc_ref)
-
-        r = rows_ref[e]
-        c = cols_ref[e]
-        blk = blk_ref[0]                                     # (B, na*B)
-
-        # direct: y_r += x_c @ T_e  (one standard int8 dot, banded fold)
-        xb_c = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]  # (nx*k, B)
-        prod = jax.lax.dot_general(
-            xb_c, blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)                # (nx*k, na*B)
-        for i in range(na):
-            nxi = min(nx, nlev - i)
-            if nxi <= 0:
-                continue
-            acc_ref[i * k:(i + nxi) * k,
-                    pl.ds(pl.multiple_of(r * B, B), B)] += (
-                prod[0:nxi * k, i * B:(i + 1) * B])
-
-        # mirror: y_c += x_r @ T_e^T (per-plane NT dots; skipped on the
-        # diagonal, where the mirror IS the direct contribution)
-        @pl.when(r != c)
-        def _():
-            xb_r = xs_ref[:, pl.ds(pl.multiple_of(r * B, B), B)]
+            # direct: y_r += x_c @ T_e (one standard int8 dot, banded fold)
+            xb_c = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]  # (nx*k,B)
+            prod = jax.lax.dot_general(
+                xb_c, blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # (nx*k, na*B)
             for i in range(na):
-                nxi = min(nx, nlev - i)
+                lev = plane_off + i
+                nxi = min(nx, nlev - lev)
                 if nxi <= 0:
                     continue
-                prod2 = jax.lax.dot_general(
-                    xb_r[0:nxi * k, :], blk[:, i * B:(i + 1) * B],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)        # (nxi*k, B)
-                acc_ref[i * k:(i + nxi) * k,
-                        pl.ds(pl.multiple_of(c * B, B), B)] += prod2
+                acc_ref[lev * k:(lev + nxi) * k,
+                        pl.ds(pl.multiple_of(r * B, B), B)] += (
+                    prod[0:nxi * k, i * B:(i + 1) * B])
+
+            # mirror: y_c += x_r @ T_e^T (per-plane NT dots; skipped on
+            # the diagonal, where the mirror IS the direct contribution)
+            @pl.when(r != c)
+            def _():
+                xb_r = xs_ref[:, pl.ds(pl.multiple_of(r * B, B), B)]
+                for i in range(na):
+                    lev = plane_off + i
+                    nxi = min(nx, nlev - lev)
+                    if nxi <= 0:
+                        continue
+                    prod2 = jax.lax.dot_general(
+                        xb_r[0:nxi * k, :], blk[:, i * B:(i + 1) * B],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)    # (nxi*k, B)
+                    acc_ref[lev * k:(lev + nxi) * k,
+                            pl.ds(pl.multiple_of(c * B, B), B)] += prod2
+
+    if carry_in:
+        def kern(rows_ref, cols_ref, xs_ref, blk_ref, accin_ref, acc_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[:, :] = accin_ref[:, :]
+            body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref)
+    else:
+        def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                acc_ref[:, :] = jnp.zeros_like(acc_ref)
+            body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref)
 
     return kern
 
@@ -267,41 +322,81 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
         xs, sx = _slice_x(
             xu.astype(jnp.float64) if dtype == jnp.float64
             else xu.astype(jnp.float32), nx, interpret=interpret)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(m.nnzb_stored,),
-            in_specs=[
+
+        def bucket_call(rows_b, cols_b, slices_b, plane_off, acc):
+            """One pallas pass over a plane-truncation bucket, carrying
+            the int32 level accumulator through via aliasing."""
+            nnzb = rows_b.shape[0]
+            width = slices_b.shape[-1] // B        # stored planes
+            na_b = min(na_used - plane_off, width)
+            if nnzb == 0 or na_b <= 0:
+                return acc
+            # entries per grid step: amortize the ~2.9 us/step fixed cost
+            # (~2 f64 / ~4-5 f32 entries per step keeps the double-
+            # buffered entry window around 4 MB); padding entries are zero
+            # blocks at (0, 0) (diagonal, so the mirror is skipped and the
+            # direct dot adds exact zeros)
+            pack = min(8, max(1, 16 // na_b))
+            pad_e = (-nnzb) % pack
+            if pad_e:
+                rows_b = jnp.pad(rows_b, (0, pad_e))
+                cols_b = jnp.pad(cols_b, (0, pad_e))
+                slices_b = jnp.pad(slices_b, ((0, pad_e), (0, 0), (0, 0)))
+            carry = acc is not None
+            in_specs = [
                 pl.BlockSpec((nx * k, n),
                              lambda e, rows, cols: (e * 0, e * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, na_used * B),
+                pl.BlockSpec((pack, B, na_b * B),
                              lambda e, rows, cols: (e, e * 0, e * 0),
                              memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((nlev * k, n),
-                                   lambda e, rows, cols: (e * 0, e * 0),
-                                   memory_space=pltpu.VMEM),
-        )
-        p = pl.pallas_call(
-            _sym_kernel(nx, na_used, nlev, k, B),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
-            interpret=interpret,
-            # headroom beyond the resident set covers the double-buffered
-            # entry blocks + semaphores; keep it TIGHT — every scoped MB
-            # is VMEM that XLA's memory-space-assignment can no longer
-            # give to promoted buffers elsewhere in the program, and the
-            # flagship programs sit close to that cliff (utils/compile.py)
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=resident + 8 * 1024 * 1024),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * m.nnzb_stored * nx * k * B * na_used * B,
-                bytes_accessed=m.nnzb_stored * B * na_used * B
-                + nlev * k * n * 4,
-                transcendentals=0,
-            ),
-        )(m.rows, m.cols, xs, m.slices)
-        y = _combine_levels(p, w, nlev, k, n, acc_dtype)
+            ]
+            operands = [rows_b, cols_b, xs, slices_b]
+            aliases = {}
+            if carry:
+                in_specs.append(
+                    pl.BlockSpec((nlev * k, n),
+                                 lambda e, rows, cols: (e * 0, e * 0),
+                                 memory_space=pltpu.VMEM))
+                operands.append(acc)
+                aliases = {4: 0}  # acc input aliases the output in place
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=((nnzb + pad_e) // pack,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((nlev * k, n),
+                                       lambda e, rows, cols: (e * 0, e * 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            return pl.pallas_call(
+                _sym_kernel(nx, na_b, nlev, k, B, plane_off=plane_off,
+                            carry_in=carry, pack=pack),
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
+                interpret=interpret,
+                input_output_aliases=aliases,
+                # headroom beyond the resident set covers the
+                # double-buffered entry blocks + semaphores; keep it TIGHT
+                # — every scoped MB is VMEM that XLA's
+                # memory-space-assignment can no longer give to promoted
+                # buffers elsewhere in the program, and the flagship
+                # programs sit close to that cliff (utils/compile.py)
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=resident
+                    + (2 * pack - 2) * B * na_b * B
+                    + 8 * 1024 * 1024),
+                cost_estimate=pl.CostEstimate(
+                    flops=4 * nnzb * nx * k * B * na_b * B,
+                    bytes_accessed=nnzb * B * na_b * B + nlev * k * n * 4,
+                    transcendentals=0,
+                ),
+            )(*operands)
+
+        acc = bucket_call(m.rows, m.cols, m.slices, 0, None)
+        acc = bucket_call(m.rows1, m.cols1, m.slices1, 1, acc)
+        if acc is None:
+            return jnp.zeros_like(x, dtype)
+        y = _combine_levels(acc, w, nlev, k, n, acc_dtype)
         y = y * sx.astype(acc_dtype) * m.u_scale[None, :].astype(acc_dtype)
         return y.astype(dtype)
 

@@ -52,6 +52,15 @@ def _pow2(e):
     grid — harmless for the self-consistent float peel, fatal for the
     integer digit extraction that decodes the grid exponent from the
     scale's bit pattern.
+
+    RANGE LIMIT: the exponent is clamped to the normal-f64 range
+    [-1022, 1023], so grids for operands with magnitudes near 2^1022 (or
+    pow2_grid's bump-once doubling past 2^1023) saturate at 2^1023
+    instead of overflowing to inf; slices of such operands lose the bits
+    the clamp cut off.  Operand magnitudes must stay below ~2^1022 for
+    the exactness claims to hold (any physical eigenproblem is ~700
+    orders of magnitude below this; pow2_grid asserts nothing to keep
+    the hot path branch-free).
     """
     ei = jnp.clip(e, -1022.0, 1023.0).astype(jnp.int64)
     return jax.lax.bitcast_convert_type((ei + 1023) << 52, jnp.float64)
@@ -66,7 +75,9 @@ def pow2_grid(m):
     """
     e = jnp.ceil(jnp.log2(jnp.where(m > 0.0, m, 1.0)))
     s = _pow2(e)
-    s = jnp.where(m > s, 2.0 * s, s)
+    # saturate the bump at the largest f64 power of two instead of
+    # overflowing to inf (see the _pow2 range-limit note)
+    s = jnp.where((m > s) & (s < 2.0 ** 1023), 2.0 * s, s)
     return jnp.where(m > 0.0, s, 1.0)
 
 

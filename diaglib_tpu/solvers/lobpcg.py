@@ -188,9 +188,11 @@ def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
         eig = e_red[:n_max]
         c = c_full[:, :n_max]  # (3*n_max, n_max)
 
-        x_new = mTm(c, s.space)
-        ax_new = mTm(c, aspace)
-        bx_new = mTm(c, s.bspace) if gen_eig else jnp.zeros_like(x_new)
+        from ..utils.mm import wide_site
+        with wide_site("rot"):
+            x_new = mTm(c, s.space)
+            ax_new = mTm(c, aspace)
+            bx_new = mTm(c, s.bspace) if gen_eig else jnp.zeros_like(x_new)
 
         metric_x = bx_new if gen_eig else x_new
         r = ax_new - eig[:, None] * metric_x
@@ -224,9 +226,11 @@ def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
             u_p = u_p - jnp.where(umask[:, None], onehots, 0.0)
             u_p, p_done = ortho_vs_x(u_x, u_p, umask=umask)
 
-            p_new = mm(u_p, s.space)
-            ap_new = mm(u_p, aspace)
-            bp_new = mm(u_p, s.bspace) if gen_eig else jnp.zeros_like(p_new)
+            with wide_site("pupd"):
+                p_new = mm(u_p, s.space)
+                ap_new = mm(u_p, aspace)
+                bp_new = (mm(u_p, s.bspace) if gen_eig
+                          else jnp.zeros_like(p_new))
 
             sp = jnp.concatenate([x_new, p_new, jnp.zeros((n_max, n), dtype)])
             asp = jnp.concatenate([ax_new, ap_new, jnp.zeros((n_max, n), dtype)])

@@ -1,10 +1,19 @@
 """Iteration-count regression fixtures for the five toy protocols.
 
 SURVEY.md §4 calls for convergence-iteration-count regression against the
-reference Fortran binary; gfortran is absent from this image (BASELINE.md),
-so these fixtures pin the *current* converged behavior instead: a future
-change that, say, doubles the iteration count while staying numerically
-correct must fail here and be looked at.
+reference Fortran binary; gfortran is absent from this image AND the image
+has no network egress (BASELINE.md), so the reference binary cannot be
+built or fetched here — these fixtures pin the *current* converged
+behavior instead: a future change that, say, doubles the iteration count
+while staying numerically correct must fail here and be looked at.
+
+ANCHORING TO THE REAL FORTRAN: run ``tests/fortran_anchor.sh`` on any
+machine with gfortran + a reference checkout; it builds ``main.exe``,
+drives all five protocols, and prints a paste-ready anchor block
+(final iteration counts + leading eigenvalues per driver) to reconcile
+the ±2-iteration band below against the actual reference run.  No such
+machine has been available in any build round so far; until one is, the
+band is anchored to the dense jnp.linalg/scipy oracles only.
 
 Protocol = the reference demo config (main.f90:14-18): n=1000, n_want=10,
 n_eig=15, tol=1e-8, itmax=100, m_max=20, guess strategy 4, seed 1 — exactly
