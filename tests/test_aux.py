@@ -1,6 +1,7 @@
 """Auxiliary subsystems (SURVEY.md §5): observability, numerical debugging,
 failure propagation, checkpoint/resume contract."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,3 +201,19 @@ def test_tpu_compiler_options_gate(monkeypatch):
     x = jnp.asarray([1.0, 2.0])
     assert float(f(x)[1]) == 4.0
     assert float(g(x)[0]) == 2.0
+
+
+def test_enable_persistent_cache(tmp_path, monkeypatch):
+    """enable_persistent_cache points the JAX persistent compilation cache
+    at the given (or default) directory — the remote-AOT-compile cost
+    amortizer (round-4; README 'Compile times')."""
+    from diaglib_tpu.config import enable_persistent_cache
+
+    p = enable_persistent_cache(str(tmp_path / "cache"))
+    assert p == str(tmp_path / "cache")
+    assert os.path.isdir(p)
+    assert jax.config.jax_compilation_cache_dir == p
+    # env-var default
+    monkeypatch.setenv("DIAGLIB_TPU_CACHE_DIR", str(tmp_path / "envcache"))
+    p2 = enable_persistent_cache()
+    assert p2 == str(tmp_path / "envcache")
