@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .mm import mm, mTm
 
-__all__ = ["jacobi_eigh", "jacobi_svd", "rank_argsort"]
+__all__ = ["jacobi_eigh", "jacobi_svd", "jacobi_svd_onesided",
+           "rank_argsort"]
 
 
 def rank_argsort(w, descending: bool = False):
@@ -250,3 +251,129 @@ def jacobi_svd(a, max_sweeps: int = 30, off_tol: float = 0.0):
         return m / jnp.where(nrm == 0.0, 1.0, nrm)
 
     return unit(u), s, unit(v).T
+
+
+def _onesided_sweeps(a, v, max_sweeps: int, off_tol=0.0):
+    """One-sided (Hestenes) Jacobi column-orthogonalization rounds.
+
+    Rotates COLUMN pairs of ``a`` (accumulating the same rotations into
+    ``v``) until every pair satisfies |a_p . a_q| <= rel * ||a_p|| ||a_q||
+    with rel = max(eps, off_tol), using the same Brent-Luk tournament /
+    fused permutation as _jacobi_sweeps.  On exit a = (input a) @ V with
+    nearly orthogonal columns: column norms are the singular values.
+    """
+    L = a.shape[-1]
+    L2 = L // 2
+    dtype = a.dtype
+    eps = jnp.finfo(dtype).eps
+    rel = jnp.maximum(jnp.asarray(off_tol, dtype), eps)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def rotate_permute(x, c, s):
+        p = jax.lax.slice_in_dim(x, 0, L2, axis=1)
+        q = jax.lax.slice_in_dim(x, L2, L, axis=1)
+        cb, sb = c[None, :], s[None, :]
+        top = cb * p - sb * q
+        bot = sb * p + cb * q
+        sl = jax.lax.slice_in_dim
+        if L2 == 1:
+            return jnp.concatenate([top, bot], axis=1)
+        return jnp.concatenate(
+            [sl(top, 0, 1, axis=1), sl(bot, 0, 1, axis=1),
+             sl(top, 1, L2 - 1, axis=1),
+             sl(bot, 1, L2, axis=1), sl(top, L2 - 1, L2, axis=1)],
+            axis=1)
+
+    def round_step(i, carry):
+        m, v, mx = carry
+        p = m[:, :L2]
+        q = m[:, L2:]
+        app = jnp.sum(p * p, axis=0)
+        aqq = jnp.sum(q * q, axis=0)
+        apq = jnp.sum(p * q, axis=0)
+        denom = jnp.sqrt(app * aqq) + tiny
+        rel_pq = jnp.abs(apq) / denom
+        mx = jnp.maximum(mx, jnp.max(rel_pq))
+        small = rel_pq <= eps * 1e-2
+        tau = (aqq - app) / jnp.where(small, 1.0, 2.0 * apq)
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(small, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        return (rotate_permute(m, c, s), rotate_permute(v, c, s), mx)
+
+    def sweep_cond(carry):
+        _, _, it, mx = carry
+        return (mx > rel) & (it < max_sweeps)
+
+    def sweep_body(carry):
+        m, v, it, _ = carry
+        m, v, mx = jax.lax.fori_loop(
+            0, L - 1, round_step,
+            (m, v, jnp.asarray(0.0, dtype)))
+        return (m, v, it + 1, mx)
+
+    m, v, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body,
+        (a, v, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)))
+    return m, v
+
+
+def jacobi_svd_onesided(a, max_sweeps: int = 30, off_tol: float = 0.0,
+                        mixed_precision: bool = True):
+    """SVD of a square matrix by ONE-SIDED (Hestenes) Jacobi.
+
+    Same contract as :func:`jacobi_svd` (u, s descending, vt for square
+    inputs) at roughly 1/4-1/8 of its cost: the augmented two-sided form
+    diagonalizes a 2L x 2L matrix (8x the rotation work per sweep), while
+    the one-sided form rotates the L columns of A directly — and σ comes
+    from column NORMS, so small singular values keep full relative
+    accuracy (no Gram squaring).  Requires nonsingular-ish A for the U
+    columns (zero columns get a defensive renormalization like
+    jacobi_svd).  ``off_tol`` is the relative pair-orthogonality target
+    (traceable); for float64 input with ``mixed_precision`` the bulk of
+    the sweeps runs in f32 and a polar-corrected V warm-starts the f64
+    finish.
+    """
+    L0 = a.shape[-1]
+    dtype = a.dtype
+    L = L0 + (L0 % 2)
+    if L != L0:
+        # pad with a decoupled unit column/row: keeps the matrix square
+        # and nonsingular; the pad singular value is exactly 1
+        a = jnp.pad(a, ((0, 1), (0, 1)))
+        a = a.at[L0, L0].set(1.0)
+
+    if mixed_precision and dtype == jnp.float64:
+        m32, v32 = _onesided_sweeps(a.astype(jnp.float32),
+                                    jnp.eye(L, dtype=jnp.float32),
+                                    max_sweeps)
+        vv = v32.astype(jnp.float64)
+        for _ in range(2):
+            vv = 1.5 * vv - 0.5 * mm(vv, mTm(vv, vv))
+        m, v = _onesided_sweeps(mm(a, vv), vv, max_sweeps, off_tol=off_tol)
+    else:
+        m, v = _onesided_sweeps(a, jnp.eye(L, dtype=dtype), max_sweeps,
+                                off_tol=off_tol)
+
+    s = jnp.sqrt(jnp.sum(m * m, axis=0))
+    order = rank_argsort(s, descending=True)
+    s = s[order]
+    u = m[:, order] / jnp.where(s == 0.0, 1.0, s)[None, :]
+    v = v[:, order]
+    if L != L0:
+        # drop the pad triplet (σ = 1, u/v = e_{L0}) wherever the sort
+        # placed it, identified by support on the pad row of v
+        pad_col = jnp.argmax(jnp.abs(v[L0, :]))
+        idx = jnp.arange(L)
+        non_pad = idx != pad_col
+        pos = jnp.sum(non_pad[None, :] & (idx[None, :] < idx[:, None]),
+                      axis=1)
+        keep = jnp.zeros((L0,), jnp.int32).at[
+            jnp.where(non_pad, pos, L0)
+        ].set(idx.astype(jnp.int32), mode="drop")
+        s = s[keep]
+        u = u[:L0, keep]
+        v = v[:L0, keep]
+    return u, s, v.T

@@ -81,12 +81,15 @@ def svd(a, method: str = "device", off_tol: float = 0.0):
             # buffer != nullptr) lowering jnp.linalg.svd for FLOAT32 at
             # any size — f64 lowers fine.  Root-caused round 3 (this was
             # the crash behind every f32-tier LR/generalized ladder and
-            # the round-2 bench SIGABRT); the Brent-Luk Jacobi SVD is the
+            # the round-2 bench SIGABRT); the Jacobi SVD is the
             # TPU-native escape.  See DESIGN.md §6.
-            return _jacobi.jacobi_svd(a, off_tol=off_tol)
+            return _jacobi.jacobi_svd_onesided(a, off_tol=off_tol)
         return jnp.linalg.svd(a)
     if method == "jacobi":
-        return _jacobi.jacobi_svd(a, off_tol=off_tol)
+        # one-sided (Hestenes): ~4-8x cheaper than the augmented 2L form
+        # and small singular values keep full relative accuracy (column
+        # norms, no Gram squaring) — round-4 kernel, utils/jacobi.py
+        return _jacobi.jacobi_svd_onesided(a, off_tol=off_tol)
     n, m = a.shape[-2:]
     k = min(n, m)
 
