@@ -357,7 +357,7 @@ def _device_homing(wr, wi, vr, vl, copy_r, copy_l, ldu, n_max):
 
 
 def _device_reduced_eig(g, ldu, n_sort, do_homing, copy_r, copy_l, n_max,
-                        lda_pad):
+                        lda_pad, off_tol=0.0):
     """Fully on-device twin of ``_host_reduced_eig``: Eberlein
     norm-reducing Jacobi eigensolver (utils/eberlein.py) + parking sort +
     root homing, dispatched on the smallest prefix bucket covering
@@ -371,7 +371,7 @@ def _device_reduced_eig(g, ldu, n_sort, do_homing, copy_r, copy_l, n_max,
 
     def make(L):
         def run(_):
-            wr, wi, vr, vl = eberlein_eig(g[:L, :L])
+            wr, wi, vr, vl = eberlein_eig(g[:L, :L], off_tol=off_tol)
             # pads (zero rows/cols of g beyond ldu) are exactly decoupled:
             # identify their eigenpairs by support on the pad rows, then
             # compact genuine entries to the leading ldu slots (host layout)
@@ -629,9 +629,14 @@ def _build_pass_programs(op, precnd, options: SolverOptions, use_left: bool,
 
     def body_device(s: _NonsymState):
         aspace, g, ldu_new, n_sort, do_homing = step_pre(s)
+        # adaptive Eberlein off-norm target (utils/jacobi.py contract);
+        # root homing relies on eigenVECTOR overlaps, so keep an extra
+        # order of margin vs the symmetric drivers and a tighter cap
+        prev_rms = jnp.min(jnp.where(~s.done, s.rms, jnp.inf))
+        off_tol = jnp.clip(1e-3 * prev_rms, 0.0, 1e-6)
         wr, vr, vl, found_im = _device_reduced_eig(
             g, ldu_new, n_sort, do_homing, s.copy_r, s.copy_l, n_max,
-            lda_pad)
+            lda_pad, off_tol=off_tol)
         return step_post(s, aspace, ldu_new, wr, vr, vl, found_im)
 
     def make_init(guess):

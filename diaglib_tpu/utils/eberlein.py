@@ -98,14 +98,19 @@ def _block_entries(m, L2):
     return app, aqq, apq, aqp
 
 
-def _eberlein_sweeps(a, s, sinv, max_sweeps: int):
-    """Rotation+shear sweeps; returns (m, s, sinv) in tournament layout."""
+def _eberlein_sweeps(a, s, sinv, max_sweeps: int, off_tol=0.0):
+    """Rotation+shear sweeps; returns (m, s, sinv) in tournament layout.
+
+    ``off_tol``: relative effective-off-norm target with an eps floor
+    (traceable) — same adaptive-relaxation contract as
+    utils/jacobi._jacobi_sweeps."""
     L = a.shape[-1]
     L2 = L // 2
     dtype = a.dtype
     eps = jnp.finfo(dtype).eps
     anorm = jnp.linalg.norm(a)
-    tol = eps * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
+    rel = jnp.maximum(jnp.asarray(off_tol, dtype), eps)
+    tol = rel * jnp.maximum(anorm, jnp.asarray(1.0, dtype))
     eye = jnp.eye(L, dtype=bool)
 
     def off_eff(m):
@@ -219,7 +224,8 @@ def _unit_cols(v):
     return v / jnp.where(nrm == 0.0, 1.0, nrm)
 
 
-def eberlein_eig(a, max_sweeps: int = 30, mixed_precision: bool = True):
+def eberlein_eig(a, max_sweeps: int = 30, mixed_precision: bool = True,
+                 off_tol=0.0):
     """Eigendecomposition of a small real nonsymmetric matrix on device.
 
     Returns ``(wr, wi, vr, vl)`` with wr ascending, |Im| magnitudes in
@@ -258,13 +264,15 @@ def eberlein_eig(a, max_sweeps: int = 30, mixed_precision: bool = True):
         for _ in range(4):
             sinv0 = mm(sinv0, eye2 - mm(s0, sinv0))
         a1 = mm(sinv0, mm(a64, s0))
-        m, s, sinv = _eberlein_sweeps(a1, s0, sinv0, max_sweeps)
+        m, s, sinv = _eberlein_sweeps(a1, s0, sinv0, max_sweeps,
+                                      off_tol=off_tol)
         m = m.astype(dtype)
         s = s.astype(dtype)
         sinv = sinv.astype(dtype)
     else:
         eye = jnp.eye(L, dtype=dtype)
-        m, s, sinv = _eberlein_sweeps(a, eye, eye, max_sweeps)
+        m, s, sinv = _eberlein_sweeps(a, eye, eye, max_sweeps,
+                                      off_tol=off_tol)
 
     wr = jnp.diagonal(m)
     wi = _wi_estimate(m, wr)
