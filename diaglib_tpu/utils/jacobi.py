@@ -304,19 +304,24 @@ def _onesided_sweeps(a, v, max_sweeps: int, off_tol=0.0):
         return (rotate_permute(m, c, s), rotate_permute(v, c, s), mx)
 
     def sweep_cond(carry):
-        _, _, it, mx = carry
-        return (mx > rel) & (it < max_sweeps)
+        _, _, it, mx, prev = carry
+        # plateau exit (like _jacobi_sweeps): near the rounding floor a
+        # full sweep stops improving the worst pair angle — without this
+        # a floor slightly above rel burns the whole sweep budget
+        plateau = (mx < jnp.sqrt(eps)) & (mx >= 0.9 * prev)
+        return (mx > rel) & (~plateau) & (it < max_sweeps)
 
     def sweep_body(carry):
-        m, v, it, _ = carry
-        m, v, mx = jax.lax.fori_loop(
+        m, v, it, mx, _ = carry
+        m, v, mx_new = jax.lax.fori_loop(
             0, L - 1, round_step,
             (m, v, jnp.asarray(0.0, dtype)))
-        return (m, v, it + 1, mx)
+        return (m, v, it + 1, mx_new, mx)
 
-    m, v, _, _ = jax.lax.while_loop(
+    m, v, _, _, _ = jax.lax.while_loop(
         sweep_cond, sweep_body,
-        (a, v, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype)))
+        (a, v, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dtype),
+         jnp.asarray(jnp.inf, dtype)))
     return m, v
 
 
