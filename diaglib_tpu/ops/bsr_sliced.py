@@ -210,15 +210,96 @@ def _sliced_kernel(nx: int, na: int, nlev: int, k: int, B: int,
 _VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def _sliced_kernel_resident(nx: int, na: int, nlev: int, k: int, B: int,
+                            pack: int):
+    """Resident-accumulator variant of _sliced_kernel, ``pack`` entries
+    per grid step (round 4, mirroring bsr_sliced_sym): the whole
+    (nlev*k, n) int32 level accumulator stays in VMEM for the entire grid
+    (zeroed once), removing the per-row output-tile writebacks AND
+    amortizing the ~3-4 us fixed cost per grid step that dominated the
+    revisit-tile kernel (measured 66.8 Gnnz/s f64 where the bytes alone
+    allow ~200).  Entries need no row sorting here; padding entries are
+    zero blocks folded into row 0 (exact zeros)."""
+
+    def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
+        e = pl.program_id(0)
+
+        @pl.when(e == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+        for p in range(pack):
+            r = rows_ref[e * pack + p]
+            c = cols_ref[e * pack + p]
+            xb = xs_ref[:, pl.ds(pl.multiple_of(c * B, B), B)]
+            prod = jax.lax.dot_general(
+                xb, blk_ref[p], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)            # (nx*k, na*B)
+            for i in range(na):
+                nxi = min(nx, nlev - i)
+                if nxi <= 0:
+                    continue
+                acc_ref[i * k:(i + nxi) * k,
+                        pl.ds(pl.multiple_of(r * B, B), B)] += (
+                    prod[0:nxi * k, i * B:(i + 1) * B])
+
+    return kern
+
+
 @functools.partial(jax.jit, static_argnames=("nx", "nlev", "na_used",
                                              "interpret"))
 def _sliced_spmm(m: SlicedBSR, x, nx: int, nlev: int, na_used: int,
                  interpret: bool = False):
     """Level sums P: (nlev*k, n) int32 plus x scales; see callers."""
+    import os
+
     k, n = x.shape
     B = m.block
     na = na_used
     xs, sx = _slice_x(x, nx)                                  # (nx*k, n) int8
+
+    # resident-accumulator fast path (see _sliced_kernel_resident): used
+    # whenever the full level accumulator fits next to the x slices
+    pack = min(8, max(1, 16 // na))
+    resident_acc = (nlev * k * n * 4 + nx * k * n
+                    + 2 * pack * B * na * B)
+    if (resident_acc <= _VMEM_BUDGET + 28 * 1024 * 1024
+            and os.environ.get("DIAGLIB_TPU_RESIDENT", "auto") != "never"):
+        pad_e = (-m.nnzb) % pack
+        rows_p = jnp.pad(m.rows, (0, pad_e))
+        cols_p = jnp.pad(m.cols, (0, pad_e))
+        slices_p = (jnp.pad(m.slices, ((0, pad_e), (0, 0), (0, 0)))
+                    if pad_e else m.slices)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=((m.nnzb + pad_e) // pack,),
+            in_specs=[
+                pl.BlockSpec((nx * k, n),
+                             lambda e, rows, cols: (e * 0, e * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((pack, B, na * B),
+                             lambda e, rows, cols: (e, e * 0, e * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((nlev * k, n),
+                                   lambda e, rows, cols: (e * 0, e * 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        p = pl.pallas_call(
+            _sliced_kernel_resident(nx, na, nlev, k, B, pack),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=resident_acc + 8 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m.nnzb * nx * k * B * na * B,
+                bytes_accessed=m.nnzb * B * na * B + nlev * k * m.n * 4,
+                transcendentals=0,
+            ),
+        )(rows_p, cols_p, xs, slices_p)
+        return p, sx
+
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
          (m.rows[1:] != m.rows[:-1]).astype(jnp.int32)])
