@@ -693,16 +693,23 @@ def run_section(name, budget, extra_env):
     if extra_env:
         env.update(extra_env)
     t0 = time.time()
+    timed_out = False
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--section", name],
             stdout=subprocess.PIPE, stderr=sys.stderr, timeout=budget,
             env=env, cwd=REPO, text=True)
-    except subprocess.TimeoutExpired:
-        log(f"[bench] section {name}: TIMEOUT after {budget}s")
-        return [], True
+        out, rc = p.stdout, p.returncode
+    except subprocess.TimeoutExpired as e:
+        # keep whatever metrics the child already printed (e.g. the first
+        # of two programs in a section finished before the budget hit)
+        out = e.stdout
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        rc = "timeout"
+        timed_out = True
     recs = []
-    for line in (p.stdout or "").splitlines():
+    for line in (out or "").splitlines():
         line = line.strip()
         if not line.startswith("{"):
             continue
@@ -710,10 +717,10 @@ def run_section(name, budget, extra_env):
             recs.append(json.loads(line))
         except json.JSONDecodeError:
             pass
-    status = "ok" if p.returncode == 0 else f"rc={p.returncode}"
+    status = "ok" if rc == 0 else f"rc={rc}"
     log(f"[bench] section {name}: {status}, {len(recs)} metrics, "
         f"{time.time()-t0:.0f}s")
-    return recs, False
+    return recs, timed_out
 
 
 def headline_record():
