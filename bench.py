@@ -745,9 +745,42 @@ def print_headline(final=False):
     print(json.dumps(out), flush=True)
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Fast preflight: can a child process actually run one op on the
+    accelerator?  The axon tunnel can die machine-wide (observed round 4:
+    remote_compile connection refused, jax.devices() then HANGS
+    indefinitely) — without this check every TPU section would burn its
+    full budget hanging, starving the CPU-mesh scaling section and the
+    final headline emit.  The generous timeout covers a cold remote
+    compile of the probe program (the persistent cache is pointed at the
+    repo cache dir via env so repeats are fast)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".xla_cache"))
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = jnp.ones((8, 8));"
+             "print(float((x @ x)[0, 0]))"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            timeout=timeout_s, env=env, cwd=REPO, text=True)
+        return p.returncode == 0 and "8.0" in (p.stdout or "")
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     prev = prev_values()
+    budgets = {name: budget for name, budget, _ in SECTIONS}
+    if not _tpu_reachable():
+        log("[bench] PREFLIGHT FAILED: accelerator unreachable — "
+            "shrinking accelerator-section budgets to fail fast")
+        for name in budgets:
+            if name != "scaling":
+                budgets[name] = 240
     for name, budget, extra_env in SECTIONS:
+        budget = budgets[name]
         recs, timed_out = run_section(name, budget, extra_env)
         if not recs and not timed_out:
             # a section that CRASHED (often the VMEM-MSA worker crash,
