@@ -668,6 +668,26 @@ def section_scaling():
                  **{k.replace("-", "_"): v["count"] for k, v in inv.items()},
                  bytes_total=sum(r["bytes"] for r in inv.values()))
 
+    # distributed-operator path: the row-partitioned BSR SpMM's ppermute
+    # halo exchange (ops/dist_bsr.py) — pin its collective structure too
+    if len(devices) >= 8:
+        from diaglib_tpu.ops import dist_bsr_matvec, distribute_bsr, \
+            random_bsr_spd
+
+        nb, Bb = 2048, 128
+        mtx = random_bsr_spd(nb, Bb, 4, jax.random.PRNGKey(0),
+                             dtype=jnp.float64)
+        dm = distribute_bsr(mtx, 8)
+        sh8 = VectorSharding(make_mesh(devices[:8]))
+        mv8 = jax.jit(dist_bsr_matvec(dm, sh8))
+        x8 = jnp.zeros((4, nb), jnp.float64)
+        txt = mv8.lower(x8).compile().as_text()
+        inv = collective_inventory(txt)
+        emit("scaling_collectives_dist_bsr_d8",
+             sum(r["count"] for r in inv.values()), "collectives",
+             **{k.replace("-", "_"): v["count"] for k, v in inv.items()},
+             bytes_total=sum(r["bytes"] for r in inv.values()))
+
 
 SECTION_FNS = {
     "flagship": section_flagship,
