@@ -55,6 +55,10 @@ from .slicing import combine_weights, pow2_grid, slice_scaled
 
 __all__ = ["SymSlicedBSR", "slice_bsr_sym", "sym_sliced_matvec"]
 
+# experiment hook: force the entries-per-grid-step pack factor (None =
+# the measured-default policy in bucket_call)
+_PACK_OVERRIDE = None
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -212,17 +216,24 @@ def slice_bsr_sym(m: BSRMatrix, na: int | None = None,
 
 
 def _sym_kernel(nx: int, na: int, nlev: int, k: int, B: int,
-                plane_off: int = 0, carry_in: bool = False, pack: int = 1):
+                plane_off: int = 0, pack: int = 1):
     """One VMEM-resident accumulator; direct + mirror folds per entry.
 
     ``na`` counts the planes STORED for this bucket; ``plane_off`` is the
     original plane index of the bucket's first stored plane (per-entry
     plane truncation — the dropped leading planes are exactly zero).
-    ``carry_in``: the accumulator continues a previous bucket's output
-    (passed as an aliased extra input) instead of starting from zero.
     ``pack``: entries processed per grid step — the per-step fixed cost
     measured ~2.9 us on v5e (576 steps = 1.7 ms of the 4 ms flagship
     matvec), so fewer, fatter steps buy real bandwidth.
+
+    Each plane-truncation bucket gets its OWN zero-initialized int32
+    accumulator; the caller adds them (exact) outside the kernel.  An
+    earlier round-4 variant carried bucket 0's accumulator into bucket 1
+    via input_output_aliases, but the TPU scoped-VMEM *stack* accounting
+    charges the aliased input AND the output (measured: 39.5 MB scoped for
+    a 15.7 MB accumulator at the flagship f32 tier, a compile-time
+    scoped-vmem OOM inside the davidson program) — the separate-
+    accumulator add costs ~0.04 ms of fused HBM traffic instead.
     """
 
     def body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
@@ -263,18 +274,11 @@ def _sym_kernel(nx: int, na: int, nlev: int, k: int, B: int,
                     acc_ref[lev * k:(lev + nxi) * k,
                             pl.ds(pl.multiple_of(c * B, B), B)] += prod2
 
-    if carry_in:
-        def kern(rows_ref, cols_ref, xs_ref, blk_ref, accin_ref, acc_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                acc_ref[:, :] = accin_ref[:, :]
-            body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref)
-    else:
-        def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
-            @pl.when(pl.program_id(0) == 0)
-            def _():
-                acc_ref[:, :] = jnp.zeros_like(acc_ref)
-            body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref)
+    def kern(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros_like(acc_ref)
+        body(rows_ref, cols_ref, xs_ref, blk_ref, acc_ref)
 
     return kern
 
@@ -323,26 +327,26 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
             xu.astype(jnp.float64) if dtype == jnp.float64
             else xu.astype(jnp.float32), nx, interpret=interpret)
 
-        def bucket_call(rows_b, cols_b, slices_b, plane_off, acc):
-            """One pallas pass over a plane-truncation bucket, carrying
-            the int32 level accumulator through via aliasing."""
+        def bucket_call(rows_b, cols_b, slices_b, plane_off):
+            """One pallas pass over a plane-truncation bucket; returns its
+            own zero-initialized int32 level accumulator (None if the
+            bucket is empty), summed with the other bucket's outside."""
             nnzb = rows_b.shape[0]
             width = slices_b.shape[-1] // B        # stored planes
             na_b = min(na_used - plane_off, width)
             if nnzb == 0 or na_b <= 0:
-                return acc
+                return None
             # entries per grid step: amortize the ~2.9 us/step fixed cost
             # (~2 f64 / ~4-5 f32 entries per step keeps the double-
             # buffered entry window around 4 MB); padding entries are zero
             # blocks at (0, 0) (diagonal, so the mirror is skipped and the
             # direct dot adds exact zeros)
-            pack = min(8, max(1, 16 // na_b))
+            pack = _PACK_OVERRIDE or min(8, max(1, 16 // na_b))
             pad_e = (-nnzb) % pack
             if pad_e:
                 rows_b = jnp.pad(rows_b, (0, pad_e))
                 cols_b = jnp.pad(cols_b, (0, pad_e))
                 slices_b = jnp.pad(slices_b, ((0, pad_e), (0, 0), (0, 0)))
-            carry = acc is not None
             in_specs = [
                 pl.BlockSpec((nx * k, n),
                              lambda e, rows, cols: (e * 0, e * 0),
@@ -352,14 +356,6 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
                              memory_space=pltpu.VMEM),
             ]
             operands = [rows_b, cols_b, xs, slices_b]
-            aliases = {}
-            if carry:
-                in_specs.append(
-                    pl.BlockSpec((nlev * k, n),
-                                 lambda e, rows, cols: (e * 0, e * 0),
-                                 memory_space=pltpu.VMEM))
-                operands.append(acc)
-                aliases = {4: 0}  # acc input aliases the output in place
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=((nnzb + pad_e) // pack,),
@@ -370,11 +366,10 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
             )
             return pl.pallas_call(
                 _sym_kernel(nx, na_b, nlev, k, B, plane_off=plane_off,
-                            carry_in=carry, pack=pack),
+                            pack=pack),
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((nlev * k, n), jnp.int32),
                 interpret=interpret,
-                input_output_aliases=aliases,
                 # headroom beyond the resident set covers the
                 # double-buffered entry blocks + semaphores; keep it TIGHT
                 # — every scoped MB is VMEM that XLA's
@@ -392,10 +387,14 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
                 ),
             )(*operands)
 
-        acc = bucket_call(m.rows, m.cols, m.slices, 0, None)
-        acc = bucket_call(m.rows1, m.cols1, m.slices1, 1, acc)
-        if acc is None:
+        acc0 = bucket_call(m.rows, m.cols, m.slices, 0)
+        acc1 = bucket_call(m.rows1, m.cols1, m.slices1, 1)
+        if acc0 is None and acc1 is None:
             return jnp.zeros_like(x, dtype)
+        # exact int32 add of the two bucket accumulators; XLA fuses it
+        # into the level-combine consumer (one extra HBM read, ~0.04 ms)
+        acc = acc0 + acc1 if acc0 is not None and acc1 is not None \
+            else (acc0 if acc0 is not None else acc1)
         y = _combine_levels(acc, w, nlev, k, n, acc_dtype)
         y = y * sx.astype(acc_dtype) * m.u_scale[None, :].astype(acc_dtype)
         return y.astype(dtype)
