@@ -337,11 +337,19 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
             if nnzb == 0 or na_b <= 0:
                 return None
             # entries per grid step: amortize the ~2.9 us/step fixed cost
-            # (~2 f64 / ~4-5 f32 entries per step keeps the double-
-            # buffered entry window around 4 MB); padding entries are zero
-            # blocks at (0, 0) (diagonal, so the mirror is skipped and the
-            # direct dot adds exact zeros)
-            pack = _PACK_OVERRIDE or min(8, max(1, 16 // na_b))
+            # (~2 f64 entries per step keeps the double-buffered entry
+            # window around 4 MB); padding entries are zero blocks at
+            # (0, 0) (diagonal, so the mirror is skipped and the direct
+            # dot adds exact zeros).  Pack ONLY when the tier reads the
+            # bucket at FULL stored width: a partial-width BlockSpec
+            # (e.g. the f32 tier reading 3 of 7 stored planes) makes the
+            # per-step DMA strided, and packing strided reads measured a
+            # 3x bandwidth collapse on v5e (219 -> 70 Gnnz/s, round 4) —
+            # those buckets keep one entry per step, the round-3-proven
+            # shape.
+            full_width = na_b == width
+            pack = _PACK_OVERRIDE or (
+                min(8, max(1, 16 // na_b)) if full_width else 1)
             pad_e = (-nnzb) % pack
             if pad_e:
                 rows_b = jnp.pad(rows_b, (0, pad_e))
