@@ -56,7 +56,9 @@ from .slicing import combine_weights, pow2_grid, slice_scaled
 __all__ = ["SymSlicedBSR", "slice_bsr_sym", "sym_sliced_matvec"]
 
 # experiment hook: force the entries-per-grid-step pack factor (None =
-# the measured-default policy in bucket_call)
+# the measured-default policy in bucket_call).  Module global read at
+# TRACE time: set it BEFORE the matvec closure is first traced/jitted —
+# mutating it afterwards has no effect on already-compiled programs.
 _PACK_OVERRIDE = None
 
 
@@ -316,6 +318,9 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
         resident = (nlev * k * n * 4          # accumulator (int32)
                     + nx * k * n              # x slices (int8)
                     + 2 * B * na_used * B)    # double-buffered entry
+        # the entry-window term above assumes pack=1; packed steps buffer
+        # pack x that — a LOWER bound covered by the 28 MB headroom (the
+        # per-call vmem_limit_bytes below uses the true packed size)
         if resident > _VMEM_BUDGET + 28 * 1024 * 1024:
             raise ValueError(
                 f"symmetric kernel needs {resident >> 20} MB VMEM resident "
@@ -336,20 +341,18 @@ def sym_sliced_matvec(m: SymSlicedBSR, *, dtype=jnp.float64,
             na_b = min(na_used - plane_off, width)
             if nnzb == 0 or na_b <= 0:
                 return None
-            # entries per grid step: amortize the ~2.9 us/step fixed cost
-            # (~2 f64 entries per step keeps the double-buffered entry
-            # window around 4 MB); padding entries are zero blocks at
-            # (0, 0) (diagonal, so the mirror is skipped and the direct
-            # dot adds exact zeros).  Pack ONLY when the tier reads the
-            # bucket at FULL stored width: a partial-width BlockSpec
-            # (e.g. the f32 tier reading 3 of 7 stored planes) makes the
-            # per-step DMA strided, and packing strided reads measured a
-            # 3x bandwidth collapse on v5e (219 -> 70 Gnnz/s, round 4) —
-            # those buckets keep one entry per step, the round-3-proven
-            # shape.
-            full_width = na_b == width
-            pack = _PACK_OVERRIDE or (
-                min(8, max(1, 16 // na_b)) if full_width else 1)
+            # entries per grid step: amortize the per-step fixed cost
+            # (scalar reads + dynamic-offset setup); padding entries are
+            # zero blocks at (0, 0) (diagonal, so the mirror is skipped
+            # and the direct dot adds exact zeros).  Round-5 re-measure on
+            # the two-bucket store (dispatch-latency-corrected, rep=200):
+            # pack {1,2,4,8} all land within 3% on BOTH full-width and
+            # partial-width buckets — the round-4 strided-read collapse
+            # (219 -> 70 Gnnz/s) does not reproduce after the per-entry
+            # plane-truncation relayout; pack=4 is the measured best
+            # (f64 167.1, f32 387.2 Gnnz/s at the flagship geometry).
+            pack = _PACK_OVERRIDE if _PACK_OVERRIDE is not None else (
+                min(8, max(1, 32 // na_b)))
             pad_e = (-nnzb) % pack
             if pad_e:
                 rows_b = jnp.pad(rows_b, (0, pad_e))
