@@ -32,12 +32,13 @@ diaglib.f90:1691, 1717-1729, 3543-3544) for float64 on TPU.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["sliced_mm", "sliced_mmT", "sliced_mTm", "slice_operand",
-           "slice_scaled", "combine_weights"]
+           "slice_scaled", "combine_weights", "SplitF64", "split_f64"]
 
 _BITS = 6
 _SLICES = 9  # 54 bits >= f64's 53-bit mantissa
@@ -86,6 +87,78 @@ def _row_scale(x, axis):
     return pow2_grid(jnp.max(jnp.abs(x), axis=axis, keepdims=True))
 
 
+class SplitF64(NamedTuple):
+    """Exact (hi, mid, lo) float32 decomposition of a float64 array.
+
+    ``x == hi + mid + lo`` bit-exactly (hi keeps the top 24 mantissa bits,
+    mid the next 24, lo the last <= 5 — every difference has <= 29
+    significant bits so the casts are exact) while the RESIDUALS stay in
+    normal-f32 range, i.e. for 2^-78 <~ |x| < 2^128 (an element's mid/lo
+    sit 24/48 bits below it; XLA flushes f32 subnormals to zero).
+    Elements below 2^-78 keep only their bits above ~2^-126 ABSOLUTE —
+    invisible to the sliced contractions (which truncate 54 bits below
+    each line's max: any line with max ~2^-8 or larger cuts at 2^-63,
+    far above the loss) and <= 2^-101 absolute for reconstruction.
+
+    Why it exists: on TPU float64 is software-emulated, and the hi/mid/lo
+    split is the dominant cost of EVERY sliced f64 contraction (~0.9 ms at
+    (176, 65536) on v5e, vs ~0.1 ms for the int8 MXU dot it feeds).
+    Solvers split their expansion space ONCE per iteration and pass the
+    SplitF64 through mm/mmT/mTm (utils/mm.py), which route it into the
+    sliced kernels without ever re-touching emulated f64.  The components
+    are UNSCALED; consumers apply their per-line power-of-two grids to the
+    components directly (exact f32 multiplies), which preserves the peel
+    invariants: after scaling, |mid| <= |t|*2^-24 and |lo| <= |t|*2^-48,
+    so the staged peel activation in slice_scaled/_make_peel_kernel holds
+    for element-relative splits exactly as for grid-relative ones.
+    """
+
+    hi: jax.Array
+    mid: jax.Array
+    lo: jax.Array
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    @property
+    def ndim(self):
+        return self.hi.ndim
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float64)  # semantic dtype of the represented x
+
+    @property
+    def value(self):
+        """Reconstruct the float64 array (exact within the range above)."""
+        return (self.hi.astype(jnp.float64) + self.mid.astype(jnp.float64)
+                + self.lo.astype(jnp.float64))
+
+    def scaled(self, inv):
+        """Components multiplied by an exact power-of-two factor ``inv``
+        (f64 array broadcastable to shape; cast to f32 per component)."""
+        inv32 = jnp.asarray(inv).astype(jnp.float32)
+        return self.hi * inv32, self.mid * inv32, self.lo * inv32
+
+    def mask_rows(self, mask):
+        """Zero masked rows in every component (exact)."""
+        m = mask[:, None]
+        return SplitF64(jnp.where(m, self.hi, 0.0),
+                        jnp.where(m, self.mid, 0.0),
+                        jnp.where(m, self.lo, 0.0))
+
+
+def split_f64(x) -> SplitF64:
+    """Exact float32 triple of float64 ``x`` (see :class:`SplitF64`)."""
+    x = jnp.asarray(x, jnp.float64)
+    hi = x.astype(jnp.float32)
+    d = x - hi.astype(jnp.float64)
+    mid = d.astype(jnp.float32)
+    lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    return SplitF64(hi, mid, lo)
+
+
 def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
     """Split f64 ``x`` into int8 slices on a per-line power-of-two grid.
 
@@ -104,6 +177,26 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
     more than the MXU dot it feeds (measured 2.5 ms at (165, 65536)).
     """
     import jax
+    import os
+
+    if isinstance(x, SplitF64):
+        # pre-split operand: the scale comes from |hi| (within one ulp of
+        # max|x|, which at worst costs the top digit one unit of headroom
+        # — round(2^{bits-1}*(1+2^-24)) == 2^{bits-1}, still int8-exact)
+        # and the grid is applied to the components directly (exact
+        # power-of-two f32 multiplies) — no emulated-f64 pass anywhere.
+        scale = pow2_grid(jnp.max(jnp.abs(x.hi), axis=axis,
+                                  keepdims=True).astype(jnp.float64))
+        if bits >= 7:
+            scale = 2.0 * scale
+        comps = x.scaled(1.0 / scale)
+        ax = axis % x.ndim
+        if (x.ndim == 2 and ax == 1 and jax.default_backend() == "tpu"
+                and os.environ.get("DIAGLIB_TPU_PEEL", "auto") != "never"
+                and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
+            return _peel_rows_pallas(comps, n_slices, bits), scale
+        return (slice_scaled_components(*comps, n_slices=n_slices,
+                                        bits=bits), scale)
 
     x = jnp.asarray(x)
     scale = _row_scale(x, axis)
@@ -114,7 +207,6 @@ def slice_operand(x, axis, n_slices: int = _SLICES, bits: int = _BITS):
         scale = 2.0 * scale
     t = x / scale  # exact: power-of-two division
     ax = axis % x.ndim
-    import os
     if (x.ndim == 2 and ax == 1 and jax.default_backend() == "tpu"
             and os.environ.get("DIAGLIB_TPU_PEEL", "auto") != "never"
             and _peel_tile_for(x.shape[0], x.shape[1], n_slices)):
@@ -139,20 +231,26 @@ def _peel_tile_for(k: int, n: int, n_slices: int):
 
 def _peel_rows_pallas(t, n_slices: int, bits: int, interpret: bool = False):
     """(n_slices, k, n) int8 slices of pre-scaled 2-D ``t`` via one Pallas
-    pass (bit-identical to :func:`slice_scaled`)."""
+    pass (bit-identical to :func:`slice_scaled`).  ``t`` may be a
+    (hi, mid, lo) f32 component tuple (already scaled), skipping the
+    emulated-f64 split entirely."""
     from jax.experimental import pallas as pl
 
-    k, n = t.shape
-    hi = t.astype(jnp.float32)
-    if t.dtype == jnp.float64:
-        # emulated-f64 passes dominate — compute the second difference
-        # from the first, not from t twice
-        d = t - hi.astype(jnp.float64)
-        mid = d.astype(jnp.float32)
-        lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    if isinstance(t, tuple):
+        hi, mid, lo = t
+        k, n = hi.shape
     else:
-        mid = jnp.zeros_like(hi)
-        lo = jnp.zeros_like(hi)
+        k, n = t.shape
+        hi = t.astype(jnp.float32)
+        if t.dtype == jnp.float64:
+            # emulated-f64 passes dominate — compute the second difference
+            # from the first, not from t twice
+            d = t - hi.astype(jnp.float64)
+            mid = d.astype(jnp.float32)
+            lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            mid = jnp.zeros_like(hi)
+            lo = jnp.zeros_like(hi)
     tile = _peel_tile_for(k, n, n_slices) or _PEEL_TILE
     out = pl.pallas_call(
         _make_peel_kernel(n_slices, k, bits),
@@ -207,6 +305,16 @@ def slice_scaled(t, n_slices: int = _SLICES, bits: int = _BITS):
     else:
         mid = jnp.zeros_like(hi)
         lo = jnp.zeros_like(hi)
+    return slice_scaled_components(hi, mid, lo, n_slices=n_slices, bits=bits)
+
+
+def slice_scaled_components(hi, mid, lo, n_slices: int = _SLICES,
+                            bits: int = _BITS):
+    """The peel chain of :func:`slice_scaled` on pre-split f32 components
+    (the XLA twin of the Pallas kernel's component path).  The staged
+    activation below is valid for element-relative splits too: scaled
+    components of a :class:`SplitF64` satisfy |mid| <= |t|*2^-24 and
+    |lo| <= |t|*2^-48 with |t| <= 1."""
 
     def peel(rem, level):
         # rem sits on the power-of-two grid; the scale and round are exact
@@ -477,21 +585,33 @@ def sliced_wide_mm(a, b, n_slices: int = 8, bits: int = _WIDE_BITS,
         raise ValueError(f"K={kdim} overflows exact int32 accumulation")
     ns = n_slices
     nlev = min(2 * ns - 1, 9)
+    presplit = isinstance(b, SplitF64)
     # pad K to a sublane multiple so Pallas edge tiles are never garbage
     kpad = (-kdim) % 8
     if kpad:
         a = jnp.pad(a, ((0, 0), (0, kpad)))
-        b = jnp.pad(b, ((0, kpad), (0, 0)))
+        if presplit:
+            b = SplitF64(*(jnp.pad(c, ((0, kpad), (0, 0))) for c in b))
+        else:
+            b = jnp.pad(b, ((0, kpad), (0, 0)))
         kdim += kpad
 
     a_sl, sa = slice_operand(a, axis=-1, n_slices=ns, bits=bits)
     a_sl = a_sl.reshape(ns * m, kdim)
-    sb = 2.0 * pow2_grid(jnp.max(jnp.abs(b), axis=0, keepdims=True))
-    t = b * (1.0 / sb)
-    hi = t.astype(jnp.float32)
-    d = t - hi.astype(jnp.float64)
-    mid = d.astype(jnp.float32)
-    lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
+    if presplit:
+        # scale from |hi| (within one ulp of max|b| — the top in-kernel
+        # peel digit keeps |q| <= 2^{bits-1}, see slice_operand) applied to
+        # the components directly: no emulated-f64 split pass
+        sb = 2.0 * pow2_grid(jnp.max(jnp.abs(b.hi), axis=0,
+                                     keepdims=True).astype(jnp.float64))
+        hi, mid, lo = b.scaled(1.0 / sb)
+    else:
+        sb = 2.0 * pow2_grid(jnp.max(jnp.abs(b), axis=0, keepdims=True))
+        t = b * (1.0 / sb)
+        hi = t.astype(jnp.float32)
+        d = t - hi.astype(jnp.float64)
+        mid = d.astype(jnp.float32)
+        lo = (d - mid.astype(jnp.float64)).astype(jnp.float32)
 
     tile = _wide_tile(m, kdim, n, ns)
     if tile is None:

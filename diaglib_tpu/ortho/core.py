@@ -245,7 +245,10 @@ def _iterate_vs_x(project, x_for_overlap, u, umask, max_iter):
     def body(s: _VsXState):
         uu = project(s.u)
         uu, growth, cd_ok = _ortho_or_qr(uu, umask)
-        overlap = mmT(x_for_overlap, uu)
+        # overlap computed as (u x^T): same Frobenius norm as (x u^T), and
+        # this operand order lets a SplitF64 x ride the sliced route's
+        # b side (no emulated-f64 split pass; utils/mm.py)
+        overlap = mmT(uu, x_for_overlap)
         explicit = jnp.sqrt(jnp.sum(overlap * overlap))
         xu_norm = jnp.where(cd_ok, growth * _eps(dtype), explicit)
         done = xu_norm < _tol_ortho(dtype)
@@ -257,17 +260,24 @@ def _iterate_vs_x(project, x_for_overlap, u, umask, max_iter):
     return out.u, out.done
 
 
-def ortho_vs_x(x, u, xmask=None, umask=None, max_iter: int = _MAXIT):
+def ortho_vs_x(x, u, xmask=None, umask=None, max_iter: int = _MAXIT,
+               xsplit=None):
     """Orthogonalize block u against orthonormal x, then orthonormalize u.
 
     Reference: diaglib.f90:3481-3574.  Iterates the projection
     ``u <- u - (u x^T) x`` + orthonormalization until ||x u^T|| < 2*eps,
     estimating the overlap from ortho_cd's growth factor when available.
     Masked rows of x and u are zero and stay zero.
+
+    ``xsplit``: optional :class:`~diaglib_tpu.ops.slicing.SplitF64` of
+    ``x`` (a solver's once-per-iteration split) — every projection and
+    overlap then consumes the f32 components on the sliced route instead
+    of re-splitting the emulated-f64 space per product.
     """
     xmask = _rowmask(xmask, x.shape[0])
     umask = _rowmask(umask, u.shape[0])
-    xm = jnp.where(xmask[:, None], x, 0.0)
+    xm = (xsplit.mask_rows(xmask) if xsplit is not None
+          else jnp.where(xmask[:, None], x, 0.0))
 
     def project(uu):
         from ..utils.mm import wide_site
@@ -344,13 +354,17 @@ def b_ortho_svd(u, bu, mask=None, tol_svd: float = 1.0e-5):
     return u_new, bu_new
 
 
-def b_ortho_vs_x(x, bx, u, xmask=None, umask=None, max_iter: int = _MAXIT):
+def b_ortho_vs_x(x, bx, u, xmask=None, umask=None, max_iter: int = _MAXIT,
+                 xsplit=None, bxsplit=None):
     """B-orthogonalize u against x (metric overlap bx^T u), then
-    orthonormalize u; iterate (diaglib.f90:3576-3663)."""
+    orthonormalize u; iterate (diaglib.f90:3576-3663).
+    ``xsplit``/``bxsplit``: optional SplitF64 of x / bx (see ortho_vs_x)."""
     xmask = _rowmask(xmask, x.shape[0])
     umask = _rowmask(umask, u.shape[0])
-    xm = jnp.where(xmask[:, None], x, 0.0)
-    bxm = jnp.where(xmask[:, None], bx, 0.0)
+    xm = (xsplit.mask_rows(xmask) if xsplit is not None
+          else jnp.where(xmask[:, None], x, 0.0))
+    bxm = (bxsplit.mask_rows(xmask) if bxsplit is not None
+           else jnp.where(xmask[:, None], bx, 0.0))
 
     def project(uu):
         return uu - mm(mmT(uu, bxm), xm)

@@ -109,10 +109,25 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         bguess = jnp.zeros_like(guess)
         b_ok0 = jnp.asarray(True)
 
+    # On TPU, split the f64 expansion space into its exact f32 component
+    # triple ONCE per iteration and feed the components to every sliced
+    # contraction (a_red rows, Ritz rotations, ortho projections): the
+    # emulated-f64 hi/mid/lo split is the dominant cost of each sliced
+    # product (~0.9 ms at (176, 65536) on v5e), and one split serves ~6
+    # products per iteration (ops/slicing.SplitF64).
+    use_split = dtype == jnp.float64 and jax.default_backend() == "tpu"
+
     def cond(s: _DavidsonState):
         return (~s.ok) & (s.it < max_iter)
 
     def body(s: _DavidsonState):
+        if use_split:
+            from ..ops.slicing import split_f64
+            space_rep = split_f64(s.space)
+            bspace_rep = split_f64(s.bspace) if gen_eig else None
+        else:
+            space_rep = s.space
+            bspace_rep = s.bspace if gen_eig else None
         ldu_new = s.ldu + s.n_act
         # the matvec block starts past the n_rst roots whose products are
         # skipped right after a restart (Fortran i_beg + n_rst,
@@ -131,7 +146,7 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
         # incremental reduced-matrix rows: a_red[g, j] = aspace_g . space_j
         # (row-filled lower triangle; the Fortran fills columns of the upper
         # one, diaglib.f90:1691 — same data, transposed layout)
-        new_rows = mmT(ablock, s.space)  # (n_max, lda_pad)
+        new_rows = mmT(ablock, space_rep)  # (n_max, lda_pad)
         col_ok = prefix_mask(lda_pad, ldu_new)
         new_rows = jnp.where(col_ok[None, :], new_rows, 0.0)
         a_red = scatter_rows(s.a_red, new_rows, start)
@@ -161,8 +176,8 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
 
             from ..utils.mm import wide_site
             with wide_site("rot"):
-                evec = mTm(c, s.space)
-                metric_evec = mTm(c, s.bspace) if gen_eig else evec
+                evec = mTm(c, space_rep)
+                metric_evec = mTm(c, bspace_rep) if gen_eig else evec
                 r = mTm(c, aspace) - eig[:, None] * metric_evec
 
         active = (~s.done) & (jnp.arange(n_max) < n_targ)
@@ -195,16 +210,19 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             umask = jnp.arange(n_max) < n_act_new
             pre = jnp.where(umask[:, None], pre, 0.0)
             if gen_eig:
-                unew, o_done = b_ortho_vs_x(s.space, s.bspace, pre,
-                                            xmask=col_ok, umask=umask)
+                unew, o_done = b_ortho_vs_x(
+                    s.space, s.bspace, pre, xmask=col_ok, umask=umask,
+                    xsplit=space_rep if use_split else None,
+                    bxsplit=bspace_rep if use_split else None)
                 bnew = bvec(unew)
                 bnew = jnp.where(umask[:, None], bnew, 0.0)
                 unew, bnew, b_ok = b_ortho(unew, bnew, umask)
                 o_done = o_done & b_ok
                 bspace2 = scatter_rows(s.bspace, bnew, ldu_new)
             else:
-                unew, o_done = ortho_vs_x(s.space, pre, xmask=col_ok,
-                                          umask=umask)
+                unew, o_done = ortho_vs_x(
+                    s.space, pre, xmask=col_ok, umask=umask,
+                    xsplit=space_rep if use_split else None)
                 bspace2 = s.bspace
             return (
                 scatter_rows(s.space, unew, ldu_new),

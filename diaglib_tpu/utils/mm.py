@@ -196,12 +196,25 @@ def _chunk_sizes(k):
     return nc, nc * _CHUNK
 
 
+def _desplit(b):
+    """Reconstruct a SplitF64 operand for routes that need raw float64
+    (exact within the split's range contract; see ops/slicing.SplitF64)."""
+    from ..ops.slicing import SplitF64
+    return b.value if isinstance(b, SplitF64) else b
+
+
 def mmT(a, b):
-    """a @ b.T (Gram layout, contracting the last axes), f64-safe on TPU."""
+    """a @ b.T (Gram layout, contracting the last axes), f64-safe on TPU.
+
+    ``b`` may be a :class:`~diaglib_tpu.ops.slicing.SplitF64` (a solver's
+    once-per-iteration split of its expansion space): the sliced route
+    consumes the components directly — skipping the dominant emulated-f64
+    split pass — and other routes reconstruct."""
     k = a.shape[-1]
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mmT
         return sliced_mmT(a, b)
+    b = _desplit(b)
     if not _needs_chunking(a.dtype, k):
         return (a @ (2.0 * b).T) * 0.5
     nc, k_main = _chunk_sizes(k)
@@ -220,7 +233,8 @@ def mmT(a, b):
 
 
 def mm(a, b):
-    """a @ b (contract last dim of a with first of b), f64-safe on TPU."""
+    """a @ b (contract last dim of a with first of b), f64-safe on TPU.
+    ``b`` may be a SplitF64 (see mmT)."""
     k = a.shape[-1]
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mm
@@ -229,6 +243,7 @@ def mm(a, b):
                                                 b.shape[-1]):
         from ..ops.slicing import sliced_wide_mm
         return sliced_wide_mm(a, b)
+    b = _desplit(b)
     if not _needs_chunking(a.dtype, k):
         return _scaled(a, b)
     nc, k_main = _chunk_sizes(k)
@@ -247,7 +262,8 @@ def mm(a, b):
 
 
 def mTm(a, b):
-    """a.T @ b (contract the first axes), f64-safe on TPU."""
+    """a.T @ b (contract the first axes), f64-safe on TPU.
+    ``b`` may be a SplitF64 (see mmT)."""
     k = a.shape[0]
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mTm
@@ -256,6 +272,7 @@ def mTm(a, b):
                                                 b.shape[-1]):
         from ..ops.slicing import sliced_wide_mm
         return sliced_wide_mm(a.T, b)
+    b = _desplit(b)
     if not _needs_chunking(a.dtype, k):
         return (a.T @ (2.0 * b)) * 0.5
     nc, k_main = _chunk_sizes(k)
