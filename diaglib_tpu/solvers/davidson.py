@@ -168,9 +168,12 @@ def _davidson_impl(matvec, precnd, bvec, evec_guess, options: SolverOptions,
             # solve only the smallest prefix bucket covering ldu_new: the
             # reduced matrix grows one block per iteration, so early
             # iterations pay L^3 at L ~ n_max instead of lda_pad
+            # fine (linear) buckets past 2*n_max: the reduced solve is the
+            # f64 stage's largest term and the doubling jump at the top of
+            # the space nearly doubles it (masking.prefix_buckets)
             e_red, c_full = masked_eigh_bucketed(
                 sym, col_ok, ldu_new, lo=2 * n_max,
-                method=options.reduced_solver, off_tol=off_tol)
+                method=options.reduced_solver, off_tol=off_tol, fine=True)
             eig = e_red[:n_max]
             c = c_full[:, :n_max]  # (lda_pad, n_max) reduced eigenvectors
 

@@ -90,23 +90,31 @@ def masked_eigh(a, mask, method: str = "device", v0=None,
     return reduced.eigh(a_m, method, v0=v0, off_tol=off_tol)
 
 
-def prefix_buckets(full: int, lo: int):
+def prefix_buckets(full: int, lo: int, fine: bool = False):
     """Static solve sizes {lo, 2lo, 4lo, ...} clipped to ``full``.
 
     Reduced problems grow by one block per iteration, so most solves only
     need the small leading corner; bucketing the solve size caps the wasted
     cubic work at 8x while keeping everything static-shaped (SURVEY.md §7
-    hard-parts: "bucket by active-count powers")."""
+    hard-parts: "bucket by active-count powers").
+
+    ``fine``: switch to LINEAR steps of ``lo`` past 2*lo (lo, 2lo, 3lo,
+    ...) — the cubic cost makes the doubling jump expensive at the top
+    (measured v5e: the L=120 -> 165 jump nearly doubles the f64 Jacobi
+    solve, 4.2 -> 8.7 ms), so drivers whose reduced solve dominates the
+    iteration (davidson) trade a few more compiled branches (each a tiny
+    dimension-independent Jacobi program) for tighter sizes; drivers whose
+    COMPILE budget dominates (the nonsym Eberlein buckets) stay coarse."""
     sizes = []
     s = max(1, int(lo))
     while s < full:
         sizes.append(s)
-        s *= 2
+        s = s + lo if (fine and s >= 2 * lo) else s * 2
     sizes.append(full)
     return tuple(sizes)
 
 
-def bucketed_switch(make, ldu, full: int, lo: int):
+def bucketed_switch(make, ldu, full: int, lo: int, fine: bool = False):
     """Dispatch to ``make(L)()`` for the smallest bucket L >= ldu.
 
     ``make(L)`` returns a thunk computing the solve restricted to the
@@ -114,7 +122,7 @@ def bucketed_switch(make, ldu, full: int, lo: int):
     branches of the ``lax.switch`` must agree).  Exact whenever the
     genuine data occupies the leading ldu rows/cols (prefix masks).
     """
-    sizes = prefix_buckets(full, lo)
+    sizes = prefix_buckets(full, lo, fine)
     if len(sizes) == 1:
         return make(full)(None)
     idx = jnp.sum(
@@ -123,7 +131,7 @@ def bucketed_switch(make, ldu, full: int, lo: int):
 
 
 def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device",
-                         v0=None, off_tol: float = 0.0):
+                         v0=None, off_tol: float = 0.0, fine: bool = False):
     """masked_eigh on the smallest prefix bucket covering ``ldu``.
 
     ``mask`` must be a PREFIX mask with population ``ldu`` (the solvers'
@@ -159,7 +167,7 @@ def masked_eigh_bucketed(a, mask, ldu, lo: int, method: str = "device",
             return w_out, v_out
         return run
 
-    return bucketed_switch(make, ldu, full, lo)
+    return bucketed_switch(make, ldu, full, lo, fine)
 
 
 def masked_svd(a, mask, method: str = "device", off_tol: float = 0.0):
