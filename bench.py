@@ -530,50 +530,85 @@ def section_nonsym_toy():
 
 
 def section_nonsym_flagship():
-    """Flagship-scale nonsymmetric solve: nonsym ladder (driver='device',
+    """Flagship-scale nonsymmetric solve at n=65536 (driver='device',
     reduced eig fully on device via the Eberlein norm-reducing Jacobi) on
-    the similarity-transformed sliced operator at n=65536 (the reference's
-    variant-4 construction, main.f90:1041-1092, at production scale)."""
+    the similarity-transformed sliced operator (the reference's variant-4
+    construction, main.f90:1041-1092, at production scale).
+
+    Round-5 compile-cost redesign: the old single fused ladder program
+    (f32 consecutive + f64 consecutive in ONE jit) cost 977 s of XLA AOT
+    (BENCH_r04); compile time is superlinear in program size, so the
+    protocol now runs as separately compiled building blocks —
+    * ONE side-polymorphic f64 pass program (nonsym_pass with a TRACED
+      use_left + nonsym_similarity_sided feeding the side's store/sign as
+      inputs) serving BOTH the right and left f64 passes,
+    * one f32 right pass (the ladder warm start needs no left pass),
+    * small jitted glue (seed ortho, finalize) — mixed.nonsym_ladder
+      semantics reproduced exactly via the library's own glue functions.
+    """
     jax = _jax()
+    import dataclasses
+
     import jax.numpy as jnp
 
     from diaglib_tpu import SolverOptions
     from diaglib_tpu.problems import (
         bsr_nonsym_similarity,
         diag_precnd,
-        nonsym_similarity_ops,
+        nonsym_similarity_sided,
     )
-    from diaglib_tpu.solvers import nonsym_ladder
+    from diaglib_tpu.solvers import (
+        nonsym_finalize,
+        nonsym_pass,
+        nonsym_seed_left,
+    )
 
     n, B, bpr = 65536, 512, 8
     n_want = 10
     stores, diag = bsr_nonsym_similarity(n, B, bpr, jax.random.PRNGKey(0))
+    s_store, st, stt = stores
     opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=150, tol=1e-10,
                          max_dav=10)
-    g = jnp.zeros((n_want, n), jnp.float64)
+    lo_opts = dataclasses.replace(opts, tol=2e-6, max_iter=60)
+    g0 = jnp.zeros((n_want, n), jnp.float64)
 
-    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6).
-    # Wide rotation kernel ON via the nonsym routing default
-    # (validated: 3.96 vs 4.28 s, ok=true).
+    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6);
+    # wide rotation kernel ON via the nonsym routing default.
+    def make_pass(dtype, opts_):
+        def f(s_store, t_used, diag, sign, use_left, g, k):
+            mv = nonsym_similarity_sided(s_store, t_used, sign, dtype=dtype)
+            pc = diag_precnd(diag.astype(dtype))
+            return nonsym_pass(mv, pc, g, opts_, use_left=use_left, key=k,
+                               driver="device")
+        return _sjit(f)
 
-    def run(stores, g, k):
-        mv32, mvl32 = nonsym_similarity_ops(stores, dtype=jnp.float32)
-        mv64, mvl64 = nonsym_similarity_ops(stores, dtype=jnp.float64)
-        return nonsym_ladder(
-            mv32, mvl32, diag_precnd(diag.astype(jnp.float32)),
-            mv64, mvl64, diag_precnd(diag),
-            g, opts, side="c", lo_tol=2e-6, lo_iter=60, key=k,
-            driver="device")
+    pass32 = make_pass(jnp.float32, lo_opts)
+    pass64 = make_pass(jnp.float64, opts)
+    seed = _sjit(nonsym_seed_left)
+    fin = _sjit(lambda rr, rl, sk: nonsym_finalize(rr, rl, opts, seed_ok=sk))
+    true_, false_ = jnp.asarray(True), jnp.asarray(False)
 
-    run = _sjit(run)
+    def run(g, k):
+        kr, kl = jax.random.split(k)
+        lo = pass32(s_store, st, diag, 1.0, false_,
+                    g.astype(jnp.float32), kr)
+        g64 = lo.evec.astype(jnp.float64)
+        hi_r = pass64(s_store, st, diag, 1.0, false_, g64, kr)
+        guess_l, seed_ok = seed(hi_r.evec)
+        hi_l = pass64(s_store, stt, diag, -1.0, true_, guess_l, kl)
+        res = fin(hi_r, hi_l, seed_ok)
+        return dataclasses.replace(
+            res, n_iter=res.n_iter + lo.n_iter,
+            n_matvec=res.n_matvec + lo.n_matvec)
+
     t0 = time.time()
-    res = jax.block_until_ready(run(stores, g, jax.random.PRNGKey(1)))
+    res = jax.block_until_ready(run(g0, jax.random.PRNGKey(1)))
     log(f"nonsym ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
         f"ok={bool(res.ok)} iters={int(res.n_iter)} "
         f"matvecs={int(res.n_matvec)}")
     emit("nonsym_compile_first_s", time.time() - t0, "s")
     dt, res, ok = _steady(
-        run, lambda k: (stores, g, k), jax.random.PRNGKey(1),
+        run, lambda k: (g0, k), jax.random.PRNGKey(1),
         [jax.random.PRNGKey(2 + i) for i in range(3)])
     emit("nonsym_bsr_n65536_f64_wall", dt, "s", ok=ok,
          iters=int(res.n_iter), n_matvec=int(res.n_matvec))

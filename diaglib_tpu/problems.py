@@ -35,6 +35,7 @@ __all__ = [
     "casida_tdscf_ops",
     "bsr_nonsym_similarity",
     "nonsym_similarity_ops",
+    "nonsym_similarity_sided",
     "bsr_gen_problem",
     "lrprec_eff",
     "lrprec_std",
@@ -383,6 +384,38 @@ def nonsym_similarity_ops(stores, dtype=jnp.float64, terms: int = 4,
         return exp_apply(ttmv, smv(exp_apply(ttmv, x, -1.0)), 1.0)
 
     return mv, mv_l
+
+
+def nonsym_similarity_sided(s_store, t_store, sign, dtype=jnp.float64,
+                            terms: int = 4, interpret: bool = False):
+    """ONE side-polymorphic matvec closure over the similarity stores.
+
+    The right operator R = E_- S E_+ and its transpose R^T = E_+^T S E_-^T
+    are the SAME compute graph fed different data: ``t_store`` is the
+    sliced store of T (right) or T^T (left) and ``sign`` (may be a traced
+    scalar) is +1 for right, -1 for left.  Together with a traced
+    ``use_left`` in :func:`~diaglib_tpu.solvers.nonsym_pass` this lets one
+    compiled pass program serve both sides of the consecutive protocol —
+    at flagship scale that halves the dominant XLA compile cost.
+    """
+    from .ops.bsr_sliced import sliced_bsr_matvec
+    from .ops.bsr_sliced_sym import sliced_matvec_any
+
+    smv = sliced_matvec_any(s_store, dtype=dtype, interpret=interpret)
+    tmv = sliced_bsr_matvec(t_store, dtype=dtype, interpret=interpret)
+    sign = jnp.asarray(sign, dtype)
+
+    def exp_apply(x, sgn):
+        term, acc = x, x
+        for j in range(1, terms + 1):
+            term = tmv(term) * (sgn / j)
+            acc = acc + term
+        return acc
+
+    def mv(x):
+        return exp_apply(smv(exp_apply(x, sign)), -sign)
+
+    return mv
 
 
 def bsr_gen_problem(n: int, block: int, blocks_per_row: int, key,

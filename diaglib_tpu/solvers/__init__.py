@@ -12,7 +12,8 @@ from .mixed import (
     lobpcg_ladder,
     nonsym_ladder,
 )
-from .nonsym import nonsym
+from .nonsym import (NonsymPassResult, nonsym, nonsym_finalize,
+                     nonsym_pass, nonsym_seed_left)
 
 __all__ = [
     "LROps",
@@ -26,6 +27,10 @@ __all__ = [
     "gen_david_ladder",
     "lobpcg",
     "lobpcg_ladder",
+    "NonsymPassResult",
     "nonsym",
+    "nonsym_finalize",
+    "nonsym_pass",
     "nonsym_ladder",
+    "nonsym_seed_left",
 ]

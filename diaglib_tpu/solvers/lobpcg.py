@@ -165,7 +165,18 @@ def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
     def cond(s: _LobpcgState):
         return (~s.ok) & (s.it < max_iter)
 
+    # split the f64 blocks once per iteration for the sliced Gram/overlap
+    # products (ops/slicing.SplitF64; see davidson.py note) — LOBPCG
+    # rebuilds its space every iteration, so the split is per-iteration,
+    # not incremental
+    use_split = dtype == jnp.float64 and jax.default_backend() == "tpu"
+
     def body(s: _LobpcgState):
+        if use_split:
+            from ..ops.slicing import split_f64
+            space_rep = split_f64(s.space)
+        else:
+            space_rep = s.space
         w_mask = idx_b < s.n_act
         p_valid = idx_b < s.p_count
         w = s.space[2 * n_max:]
@@ -175,7 +186,7 @@ def _lobpcg_impl(matvec, precnd, evec_guess, options: SolverOptions, *,
         n_matvec = s.n_matvec + s.n_act
 
         mask = jnp.concatenate([jnp.ones((n_max,), bool), p_valid, w_mask])
-        g = mmT(s.space, aspace)
+        g = mmT(space_rep, aspace)
         # adaptive Jacobi off-norm target: intermediate reduced solves only
         # need ~2 orders below the current residual (see davidson.py note;
         # measured 3.6 -> 2.4 ms at L=60 f64 on v5e)

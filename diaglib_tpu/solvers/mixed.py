@@ -196,10 +196,17 @@ def nonsym_ladder(matvec_lo, matvec_l_lo, precnd_lo,
     for both stages (see ``nonsym``)."""
     lo_opts = _lo_options(options, lo_tol, lo_iter)
     guess32 = jnp.asarray(evec_guess, jnp.float32)
+    # the f32 stage exists only to produce the warm-start block, and for
+    # consecutive/simultaneous sides the f64 stage re-derives its left
+    # side from the right eigenvectors anyway — so the f32 LEFT pass
+    # would be computed and thrown away: run the f32 stage one-sided.
+    # (Compile cost matters too: one fewer full pass program.)
+    lo_side = "r" if side in ("s", "c") else side
     lo = nonsym(matvec_lo, matvec_l_lo, precnd_lo, guess32, lo_opts,
-                side=side, key=key, driver=driver)
+                side=lo_side, key=key, driver=driver)
+    lo_evec = lo.evec_l if side == "l" else lo.evec_r
     hi = nonsym(matvec_hi, matvec_l_hi, precnd_hi,
-                lo.evec_r.astype(jnp.float64), options, side=side, key=key,
+                lo_evec.astype(jnp.float64), options, side=side, key=key,
                 driver=driver)
     return dataclasses.replace(
         hi,

@@ -49,7 +49,8 @@ from ..utils.guess import check_guess
 from ..utils.mm import mm, mTm, mmT
 from ..utils.masking import gather_rows, prefix_lock, prefix_mask, scatter_rows
 
-__all__ = ["nonsym"]
+__all__ = ["nonsym", "nonsym_pass", "NonsymPassResult",
+           "nonsym_seed_left", "nonsym_finalize"]
 
 _TOL_IM = 1.0e-12
 
@@ -458,7 +459,11 @@ def _pass_programs(op, precnd, options: SolverOptions, use_left: bool,
     matvec closure and the programs (plus whatever they close over) are
     collectible.  Callables without a ``__dict__`` fall back to a bounded
     ``_FALLBACK_PROGRAMS`` memo (at most ``_FALLBACK_MAX`` entries)."""
-    key = (precnd, options, use_left, sharding, n, dtype_name)
+    # a traced use_left flag is not hashable; such programs are
+    # side-polymorphic, so one memo entry serves both sides
+    key = (precnd, options,
+           use_left if isinstance(use_left, bool) else "traced",
+           sharding, n, dtype_name)
     try:
         memo = op.__dict__.setdefault("_nonsym_pass_programs", {})
         fallback = False
@@ -530,11 +535,17 @@ def _build_pass_programs(op, precnd, options: SolverOptions, use_left: bool,
         outer = col_ok[:, None] & col_ok[None, :]
         # right pass: G[i,j] = s_i . (A s_j); left pass: G[i,j] = l_i^T A l_j
         # = (A^T l_i) . l_j (diaglib.f90:2488-2494) — both reduce A in the
-        # current basis
-        if use_left:
-            g = mmT(aspace, s.space)
+        # current basis.  ``use_left`` may be a TRACED flag (one compiled
+        # side-polymorphic pass program serves both sides — the op then
+        # differs only in its input arrays): the two Grams are exact
+        # transposes of each other (the sliced product's truncation grids
+        # are per-operand, independent of operand order), so one product
+        # + a select suffices.
+        if isinstance(use_left, bool):
+            g = mmT(aspace, s.space) if use_left else mmT(s.space, aspace)
         else:
-            g = mmT(s.space, aspace)
+            g0 = mmT(s.space, aspace)
+            g = jnp.where(use_left, g0.T, g0)
         g = jnp.where(outer, g, 0.0)
 
         n_sort = jnp.where(s.fresh, n_max, n_max + s.n_act)
@@ -548,7 +559,10 @@ def _build_pass_programs(op, precnd, options: SolverOptions, use_left: bool,
         eig = wr[:n_max]
         cr = vr[:, :n_max]
         cl = vl[:, :n_max]
-        c_use = cl if use_left else cr
+        if isinstance(use_left, bool):
+            c_use = cl if use_left else cr
+        else:
+            c_use = jnp.where(use_left, cl, cr)
 
         evec = mTm(c_use, s.space)
         r = mTm(c_use, aspace) - eig[:, None] * evec
@@ -813,11 +827,26 @@ def _nonsym_impl(matvec, matvec_l, precnd, evec_guess,
     out_r = _nonsym_pass(matvec, precnd, evec_guess, options,
                          use_left=False, key=kr, sharding=sharding,
                          driver=driver)
-    guess_l, _, seed_ok = ortho_cd(out_r.evec)
+    guess_l, seed_ok = nonsym_seed_left(out_r.evec)
     out_l = _nonsym_pass(matvec_l, precnd, guess_l, options,
                          use_left=True, key=kl, sharding=sharding,
                          driver=driver)
+    return _consecutive_result(out_r, out_l, seed_ok, options)
 
+
+def nonsym_seed_left(evec_r):
+    """Left-pass seed from converged right eigenvectors: orthonormalized
+    copy (diaglib.f90:2892-2901).  Returns ``(guess_l, ok)``.  Public so
+    callers running the consecutive protocol as SEPARATE compiled pass
+    programs (one jit per pass — the single fused program costs several
+    hundred seconds of XLA compile at flagship scale) reproduce the
+    library glue exactly."""
+    guess_l, _, seed_ok = ortho_cd(evec_r)
+    return guess_l, seed_ok
+
+
+def _consecutive_result(out_r, out_l, seed_ok, options: SolverOptions):
+    n_max = options.n_max
     targ = jnp.arange(n_max) < options.n_targ
     # |eig_r - eig_l|: the reference's signed maxval (diaglib.f90:2887)
     # would pass a left pass that converged to LOWER values; intent-level
@@ -851,3 +880,75 @@ def _nonsym_impl(matvec, matvec_l, precnd, evec_guess,
         eig_history=out_l.eig_h,
         ortho_ok=out_r.ortho_ok & seed_ok & out_l.ortho_ok,
     )
+
+
+class NonsymPassResult(NamedTuple):
+    """Public result of ONE one-sided pass (:func:`nonsym_pass`)."""
+
+    eig: jax.Array
+    evec: jax.Array
+    ok: jax.Array
+    n_iter: jax.Array
+    n_matvec: jax.Array
+    done: jax.Array
+    rms_h: jax.Array
+    max_h: jax.Array
+    eig_h: jax.Array
+    ortho_ok: jax.Array
+
+
+def nonsym_pass(matvec, precnd, evec_guess, options: SolverOptions, *,
+                use_left=False, key=None, sharding=None,
+                driver: str = "auto"):
+    """One one-sided Davidson pass as a PUBLIC building block.
+
+    ``matvec`` is the operator of THIS side (A for right, A^T for left).
+    ``use_left`` may be a plain bool (a dedicated program per side) or a
+    TRACED boolean scalar — then ONE compiled program serves both sides,
+    with the caller feeding the side's operator data and the flag as
+    inputs.  At flagship scale the fused consecutive+ladder program costs
+    several hundred seconds of XLA compile; running the protocol as
+    separately-jitted pass programs (this function) with
+    :func:`nonsym_seed_left` / :func:`nonsym_finalize` as the glue
+    reproduces ``nonsym_ladder`` semantics at a fraction of the compile
+    cost.  Returns a :class:`NonsymPassResult` (``eig`` has
+    ``options.shift`` removed).
+    """
+    from ..utils.mm import routing_for
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    with routing_for(options, "nonsym"):
+        out = _nonsym_pass(matvec, precnd, jnp.asarray(evec_guess), options,
+                           use_left=use_left, key=key, sharding=sharding,
+                           driver=driver)
+    return NonsymPassResult(
+        eig=out.eig - options.shift, evec=out.evec, ok=out.ok,
+        n_iter=out.it, n_matvec=out.n_matvec, done=out.done,
+        rms_h=out.rms_h, max_h=out.max_h, eig_h=out.eig_h,
+        ortho_ok=out.ortho_ok)
+
+
+def nonsym_finalize(res_r: NonsymPassResult, res_l: NonsymPassResult,
+                    options: SolverOptions, seed_ok=None):
+    """Consecutive-mode finalize over two one-sided pass results
+    (``use_left=False`` then ``use_left=True`` seeded via
+    :func:`nonsym_seed_left`): eigenvalue cross-check + pairing-preserving
+    biorthonormalization — the same glue ``nonsym(side='c')`` applies
+    internally.  ``seed_ok`` (from :func:`nonsym_seed_left`) is ANDed into
+    ``ortho_ok`` when given."""
+
+    class _P:  # pass-state view of the public result (eig re-shifted)
+        def __init__(self, res):
+            self.eig = res.eig + options.shift
+            self.evec = res.evec
+            self.ok = res.ok
+            self.it = res.n_iter
+            self.n_matvec = res.n_matvec
+            self.done = res.done
+            self.rms_h = res.rms_h
+            self.max_h = res.max_h
+            self.eig_h = res.eig_h
+            self.ortho_ok = res.ortho_ok
+
+    ok0 = jnp.asarray(True) if seed_ok is None else seed_ok
+    return _consecutive_result(_P(res_r), _P(res_l), ok0, options)

@@ -213,7 +213,8 @@ def mmT(a, b):
     k = a.shape[-1]
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mmT
-        return sliced_mmT(a, b)
+        return sliced_mmT(a, b)  # either operand may be a SplitF64
+    a = _desplit(a)
     b = _desplit(b)
     if not _needs_chunking(a.dtype, k):
         return (a @ (2.0 * b).T) * 0.5
@@ -239,6 +240,7 @@ def mm(a, b):
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mm
         return sliced_mm(a, b)
+    a = _desplit(a)  # the wide kernel presplits only its b side
     if a.ndim == 2 and b.ndim == 2 and _use_wide(a.dtype, k, a.shape[0],
                                                 b.shape[-1]):
         from ..ops.slicing import sliced_wide_mm
@@ -268,6 +270,7 @@ def mTm(a, b):
     if _use_sliced(a.dtype, k):
         from ..ops.slicing import sliced_mTm
         return sliced_mTm(a, b)
+    a = _desplit(a)  # the wide kernel presplits only its b side
     if a.ndim == 2 and b.ndim == 2 and _use_wide(a.dtype, k, a.shape[1],
                                                 b.shape[-1]):
         from ..ops.slicing import sliced_wide_mm

@@ -330,3 +330,64 @@ def test_nonsym_solver_on_similarity_stores():
     assert bool(res.ok)
     np.testing.assert_allclose(np.asarray(res.eig[:3]), w_ref[:3],
                                rtol=0, atol=1e-7)
+
+
+def test_pass_protocol_matches_consecutive():
+    """nonsym_pass + nonsym_seed_left + nonsym_finalize reproduce
+    nonsym(side='c') exactly — including with a TRACED use_left flag (the
+    side-polymorphic single-program mode the flagship bench compiles)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diaglib_tpu import SolverOptions
+    from diaglib_tpu.problems import dense_matvec, diag_precnd, nonsym_matrix
+    from diaglib_tpu.solvers import (
+        nonsym,
+        nonsym_finalize,
+        nonsym_pass,
+        nonsym_seed_left,
+    )
+    from diaglib_tpu.utils.guess import guess_evec
+
+    n, n_want = 200, 4
+    a = nonsym_matrix(n, jax.random.PRNGKey(1), variant=4)
+    dn = jnp.diagonal(a)
+    g = guess_evec(6, jax.random.PRNGKey(1), n, n_want, diagonal=dn)
+    opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=100, tol=1e-9,
+                         max_dav=10)
+    mv, mvl, pc = dense_matvec(a), dense_matvec(a.T), diag_precnd(dn)
+    key = jax.random.PRNGKey(7)
+    kr, kl = jax.random.split(key)
+
+    ref = nonsym(mv, mvl, pc, g, opts, side="c", key=key, driver="device")
+
+    # static per-pass protocol
+    r = nonsym_pass(mv, pc, g, opts, use_left=False, key=kr, driver="device")
+    gl, seed_ok = nonsym_seed_left(r.evec)
+    l = nonsym_pass(mvl, pc, gl, opts, use_left=True, key=kl,
+                    driver="device")
+    out = nonsym_finalize(r, l, opts, seed_ok=seed_ok)
+    assert bool(out.ok) and bool(ref.ok)
+    np.testing.assert_allclose(np.asarray(out.eig[:n_want]),
+                               np.asarray(ref.eig[:n_want]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.evec_r),
+                               np.asarray(ref.evec_r), atol=1e-10)
+
+    # side-polymorphic: ONE jitted pass program, use_left as a traced flag
+    @jax.jit
+    def poly_pass(amat, use_left, g, k):
+        op = dense_matvec(amat)
+        return nonsym_pass(op, pc, g, opts, use_left=use_left, key=k,
+                           driver="device")
+
+    r2 = poly_pass(a, jnp.asarray(False), g, kr)
+    gl2, seed_ok2 = nonsym_seed_left(r2.evec)
+    l2 = poly_pass(a.T, jnp.asarray(True), gl2, kl)
+    out2 = nonsym_finalize(r2, l2, opts, seed_ok=seed_ok2)
+    assert bool(out2.ok)
+    np.testing.assert_allclose(np.asarray(out2.eig[:n_want]),
+                               np.asarray(ref.eig[:n_want]), rtol=1e-10)
+    # the traced-flag program is ONE compilation serving both sides
+    np.testing.assert_allclose(np.asarray(r2.eig[:n_want]),
+                               np.asarray(r.eig[:n_want]), rtol=1e-12)
