@@ -529,6 +529,69 @@ def section_nonsym_toy():
     emit("toy_nonsym_ms", dt * 1e3, "ms", ok=ok, iters=int(res.n_iter))
 
 
+def _nonsym_flagship_parts(jax, jnp):
+    """Stores + the jitted building blocks of the flagship nonsym
+    protocol.  ONE code path shared by the timed section and the
+    ``nonsym_warm64`` sibling warmer so both construct bit-identical
+    programs (the persistent cache keys on the compiled module,
+    source-location metadata included — DESIGN.md §6d)."""
+    import dataclasses
+
+    from diaglib_tpu import SolverOptions
+    from diaglib_tpu.problems import (
+        bsr_nonsym_similarity,
+        diag_precnd,
+        nonsym_similarity_sided,
+    )
+    from diaglib_tpu.solvers import (
+        nonsym_finalize,
+        nonsym_pass,
+        nonsym_seed_left,
+    )
+
+    n, B, bpr = 65536, 512, 8
+    n_want = 10
+    stores, diag = bsr_nonsym_similarity(n, B, bpr, jax.random.PRNGKey(0))
+    opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=150, tol=1e-10,
+                         max_dav=10)
+    lo_opts = dataclasses.replace(opts, tol=2e-6, max_iter=60)
+    g0 = jnp.zeros((n_want, n), jnp.float64)
+
+    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6);
+    # wide rotation kernel ON via the nonsym routing default.
+    def make_pass(dtype, opts_):
+        def f(s_store, t_used, diag, sign, use_left, g, k):
+            mv = nonsym_similarity_sided(s_store, t_used, sign, dtype=dtype)
+            pc = diag_precnd(diag.astype(dtype))
+            return nonsym_pass(mv, pc, g, opts_, use_left=use_left, key=k,
+                               driver="device")
+        return _sjit(f)
+
+    pass32 = make_pass(jnp.float32, lo_opts)
+    pass64 = make_pass(jnp.float64, opts)
+    seed = _sjit(nonsym_seed_left)
+    fin = _sjit(lambda rr, rl, sk: nonsym_finalize(rr, rl, opts, seed_ok=sk))
+    return stores, diag, g0, pass32, pass64, seed, fin, opts
+
+
+def section_nonsym_warm64():
+    """Warmer: compile the side-polymorphic f64 pass program into the
+    shared persistent cache (spawned concurrently by the flagship nonsym
+    section; emits no metrics)."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    (stores, diag, g0, pass32, pass64, seed, fin,
+     opts) = _nonsym_flagship_parts(jax, jnp)
+    s_store, st, stt = stores
+    one = jnp.asarray(1.0, jnp.float64)
+    t0 = time.time()
+    res = jax.block_until_ready(pass64(
+        s_store, st, diag, one, jnp.asarray(False), g0, jax.random.PRNGKey(1)))
+    log(f"[warm64] f64 pass compiled+ran in {time.time()-t0:.0f}s "
+        f"(ok={bool(res.ok)})")
+
+
 def section_nonsym_flagship():
     """Flagship-scale nonsymmetric solve at n=65536 (driver='device',
     reduced eig fully on device via the Eberlein norm-reducing Jacobi) on
@@ -551,51 +614,32 @@ def section_nonsym_flagship():
 
     import jax.numpy as jnp
 
-    from diaglib_tpu import SolverOptions
-    from diaglib_tpu.problems import (
-        bsr_nonsym_similarity,
-        diag_precnd,
-        nonsym_similarity_sided,
-    )
-    from diaglib_tpu.solvers import (
-        nonsym_finalize,
-        nonsym_pass,
-        nonsym_seed_left,
-    )
+    # a sibling warmer process compiles the (dominant, ~246 s) f64 pass
+    # program into the shared persistent cache CONCURRENTLY with this
+    # process's store build + f32 compile; by the time the ladder needs
+    # pass64 it loads from cache.  Identical program guaranteed: the
+    # warmer runs the same _nonsym_flagship_parts code path.  If the
+    # remote compile service serializes, this degrades to the sequential
+    # wall — never worse.
+    warm = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--section",
+         "nonsym_warm64"],
+        stdout=subprocess.DEVNULL, stderr=sys.stderr, cwd=REPO)
 
-    n, B, bpr = 65536, 512, 8
-    n_want = 10
-    stores, diag = bsr_nonsym_similarity(n, B, bpr, jax.random.PRNGKey(0))
+    (stores, diag, g0, pass32, pass64, seed, fin,
+     opts) = _nonsym_flagship_parts(jax, jnp)
     s_store, st, stt = stores
-    opts = SolverOptions(n_targ=n_want, n_max=n_want, max_iter=150, tol=1e-10,
-                         max_dav=10)
-    lo_opts = dataclasses.replace(opts, tol=2e-6, max_iter=60)
-    g0 = jnp.zeros((n_want, n), jnp.float64)
-
-    # stores as jit ARGUMENTS (multi-GB slice data; DESIGN.md §6);
-    # wide rotation kernel ON via the nonsym routing default.
-    def make_pass(dtype, opts_):
-        def f(s_store, t_used, diag, sign, use_left, g, k):
-            mv = nonsym_similarity_sided(s_store, t_used, sign, dtype=dtype)
-            pc = diag_precnd(diag.astype(dtype))
-            return nonsym_pass(mv, pc, g, opts_, use_left=use_left, key=k,
-                               driver="device")
-        return _sjit(f)
-
-    pass32 = make_pass(jnp.float32, lo_opts)
-    pass64 = make_pass(jnp.float64, opts)
-    seed = _sjit(nonsym_seed_left)
-    fin = _sjit(lambda rr, rl, sk: nonsym_finalize(rr, rl, opts, seed_ok=sk))
     true_, false_ = jnp.asarray(True), jnp.asarray(False)
+    one = jnp.asarray(1.0, jnp.float64)
 
     def run(g, k):
         kr, kl = jax.random.split(k)
-        lo = pass32(s_store, st, diag, 1.0, false_,
+        lo = pass32(s_store, st, diag, one, false_,
                     g.astype(jnp.float32), kr)
         g64 = lo.evec.astype(jnp.float64)
-        hi_r = pass64(s_store, st, diag, 1.0, false_, g64, kr)
+        hi_r = pass64(s_store, st, diag, one, false_, g64, kr)
         guess_l, seed_ok = seed(hi_r.evec)
-        hi_l = pass64(s_store, stt, diag, -1.0, true_, guess_l, kl)
+        hi_l = pass64(s_store, stt, diag, -one, true_, guess_l, kl)
         res = fin(hi_r, hi_l, seed_ok)
         return dataclasses.replace(
             res, n_iter=res.n_iter + lo.n_iter,
@@ -603,10 +647,12 @@ def section_nonsym_flagship():
 
     t0 = time.time()
     res = jax.block_until_ready(run(g0, jax.random.PRNGKey(1)))
-    log(f"nonsym ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
+    log(f"nonsym ladder n=65536: compile+first solve {time.time()-t0:.1f}s, "
         f"ok={bool(res.ok)} iters={int(res.n_iter)} "
         f"matvecs={int(res.n_matvec)}")
     emit("nonsym_compile_first_s", time.time() - t0, "s")
+    if warm.poll() is None:
+        warm.terminate()  # exact child PID; no longer needed
     dt, res, ok = _steady(
         run, lambda k: (g0, k), jax.random.PRNGKey(1),
         [jax.random.PRNGKey(2 + i) for i in range(3)])
@@ -741,6 +787,7 @@ SECTION_FNS = {
     "toy_lr": section_toy_lr,
     "nonsym_toy": section_nonsym_toy,
     "nonsym_flagship": section_nonsym_flagship,
+    "nonsym_warm64": section_nonsym_warm64,  # warmer only, not in SECTIONS
     "gen_flagship": section_gen_flagship,
     "scaling": section_scaling,
 }
