@@ -303,10 +303,10 @@ def section_flagship():
         sliced_bsr_matvec(ms), diag_precnd(ms.diagonal), g, opts,
         lo_tol=2e-6, lo_iter=35, key=k))
 
-    # wide-rotation kernel routing is option-driven now (SolverOptions
-    # wide_mm="auto" resolves per driver: ON for davidson, OFF for lobpcg
-    # whose program trips the VMEM-MSA cliff — utils/mm.py _WIDE_DEFAULTS,
-    # validated 0.62 vs 0.94 s in BENCH_r03)
+    # wide-rotation kernel routing is option-driven (SolverOptions
+    # wide_mm="auto" resolves per driver — utils/mm.py _WIDE_DEFAULTS;
+    # round 5: ON for lobpcg too, the SplitF64 presplit cleared the
+    # VMEM-MSA cliff)
     t0 = time.time()
     res = jax.block_until_ready(run(ms, g, jax.random.PRNGKey(1)))
     log(f"davidson ladder n={n}: compile+first solve {time.time()-t0:.1f}s, "
@@ -324,8 +324,8 @@ def section_flagship():
     f64_iters = int(jnp.sum(jnp.isfinite(res.rms_history[:, 0])))
     emit(METRIC, dt, "s", ok=ok, iters=int(res.n_iter), f64_iters=f64_iters)
 
-    # LOBPCG ladder on the same operator/tolerances (wide rotations OFF
-    # via the lobpcg routing default)
+    # LOBPCG ladder on the same operator/tolerances (wide rotations ON
+    # via the round-5 routing default)
     run_l = _sjit(lambda ms, g, k: lobpcg_ladder(
         sliced_bsr_matvec(ms, dtype=jnp.float32),
         diag_precnd(ms.diagonal.astype(jnp.float32)),

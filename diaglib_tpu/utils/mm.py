@@ -58,16 +58,19 @@ _wide_site = "untagged"
 _ROUTING = {"wide": None, "sliced": None}
 
 # per-driver wide-kernel defaults for SolverOptions.wide_mm == "auto"
-# (validated on v5e, BENCH_r03): ON for the davidson/gen_david/caslr/
-# caslr_eff/nonsym programs; OFF for lobpcg, whose program holds more wide
-# outputs live at once and trips the VMEM-MSA overflow (utils/compile.py)
+# (validated on v5e): ON for every driver.  lobpcg was OFF through round
+# 4 (its program composition tripped the VMEM-MSA overflow,
+# utils/compile.py); the round-5 SplitF64 presplit operands changed the
+# program's promoted-buffer set and the wide ladder now compiles and
+# runs clean — measured 21.6 vs 27.6 ms per f64 iteration at the
+# flagship (DESIGN.md §6d).
 _WIDE_DEFAULTS = {
     "davidson": "always",
     "gen_david": "always",
     "caslr": "always",
     "caslr_eff": "always",
     "nonsym": "always",
-    "lobpcg": "never",
+    "lobpcg": "always",
 }
 
 

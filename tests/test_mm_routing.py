@@ -35,8 +35,10 @@ def test_routing_defaults_per_driver(fake_tpu):
     with routing_for(opts, "caslr_eff"):
         assert mmmod._use_wide(*shape)
     with routing_for(opts, "lobpcg"):
-        assert not mmmod._use_wide(*shape), \
-            "lobpcg default must be OFF (VMEM-MSA overflow)"
+        # OFF through round 4 (VMEM-MSA overflow); ON since the round-5
+        # SplitF64 presplit reshaped the promoted-buffer set (validated
+        # at the flagship: 21.6 vs 27.6 ms/f64-iter, no crash)
+        assert mmmod._use_wide(*shape)
     # context restored
     assert not mmmod._use_wide(*shape)
 
