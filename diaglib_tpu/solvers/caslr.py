@@ -142,7 +142,7 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method,
     """
     dtype = smat.dtype
     sz = _pad_eye(smat, mask)
-    u1, s1, vt1 = masked_svd(sz, mask, method, off_tol=off_tol)
+    u1, s1, vt1 = _hp_masked_svd(sz, mask, method, off_tol)
     inv_sqrt = 1.0 / jnp.sqrt(s1)
     u1s = u1 * inv_sqrt[None, :]      # columns scaled (diaglib.f90:818)
     vt1s = vt1 * inv_sqrt[:, None]    # rows scaled   (diaglib.f90:819)
@@ -154,7 +154,7 @@ def _reduced_helmich_paris(epmat, emmat, smat, mask, ldu, n_max, method,
     lp = reduced.cholesky(0.5 * (ept + ept.T), method)
     lm = reduced.cholesky(0.5 * (emt + emt.T), method)
     cmat = mTm(lm, lp)
-    u2, s2, vt2 = masked_svd(cmat, mask, method, off_tol=off_tol)
+    u2, s2, vt2 = _hp_masked_svd(cmat, mask, method, off_tol)
 
     # genuine singular values occupy the leading ldu slots in descending
     # order; the reference reads them from the bottom (smallest first)
@@ -645,3 +645,36 @@ def _caslr_eff_impl(apbmul, ambmul, spdmul, smdmul, lrprec, evec_guess,
 
     out = jax.lax.while_loop(cond, body, init)
     return _lr_result(out, options)
+
+
+def _hp_masked_svd(a, mask, method, off_tol):
+    """masked_svd for the Helmich-Paris reduced factors, with the Jacobi
+    route forced TWO-SIDED.
+
+    Round-5 TPU measurement: the one-sided Hestenes SVD mis-converges on
+    TPU's emulated f64 for the HP chain's factors (toy HP protocol
+    ok=false at 100 iterations), while the two-sided augmented Jacobi
+    converges in the reference iteration count (16) — and the same
+    one-sided code converges on CPU, so this is a TPU-arithmetic
+    sensitivity of the delicate HP chain (SURVEY.md §7 hard-parts), not
+    an algorithm bug.  Only the two SVDs of this path are rerouted; the
+    cheaper one-sided kernel remains the route everywhere else.
+    (Defined at the END of the module so the reroute does not shift the
+    source lines of the other drivers' traced code — source locations
+    participate in the persistent compile cache key, DESIGN.md §6d.)
+    """
+    from ..utils import reduced
+
+    if reduced.resolve(method) != "jacobi":
+        return masked_svd(a, mask, method, off_tol=off_tol)
+    from ..utils.jacobi import jacobi_svd, rank_argsort
+
+    # identical padding/reordering contract as utils.masking.masked_svd
+    outer = mask[:, None] & mask[None, :]
+    a_v = jnp.where(outer, a, 0.0)
+    pad = jnp.sqrt(jnp.sum(a_v * a_v)) + 2.0
+    a_m = a_v + jnp.diag(jnp.where(mask, 0.0, pad))
+    u, s, vt = jacobi_svd(a_m, off_tol=off_tol)
+    score = jnp.sum(jnp.where(mask[:, None], u, 0.0) ** 2, axis=0)
+    order = rank_argsort(jnp.where(score > 0.5, 0.0, 1.0))
+    return u[:, order], s[order], vt[order, :]

@@ -155,3 +155,27 @@ def test_caslr_half_zero_guess_repaired_per_row(casida):
     assert bool(res_eff.ok)
     np.testing.assert_allclose(np.asarray(res_eff.eig[:N_WANT]),
                                omega[:N_WANT], rtol=1e-9)
+
+
+def test_hp_masked_svd_matches_masked_svd():
+    """The HP path's two-sided SVD reroute (TPU-arithmetic fix, see
+    caslr._hp_masked_svd) keeps masked_svd's exact contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diaglib_tpu.solvers.caslr import _hp_masked_svd
+    from diaglib_tpu.utils.masking import masked_svd
+
+    key = jax.random.PRNGKey(3)
+    a = jax.random.normal(key, (12, 12), jnp.float64)
+    mask = jnp.arange(12) < 9
+    u1, s1, vt1 = masked_svd(a, mask, "device")
+    u2, s2, vt2 = _hp_masked_svd(a, mask, "jacobi", 0.0)
+    np.testing.assert_allclose(np.asarray(s2[:9]), np.asarray(s1[:9]),
+                               rtol=1e-12)
+    # same subspaces (signs/rotations within degenerate clusters may vary):
+    # compare the reconstructed masked matrix
+    rec = (u2[:, :9] * s2[:9][None, :]) @ vt2[:9, :]
+    av = np.where(np.asarray(mask[:, None] & mask[None, :]), np.asarray(a), 0.0)
+    np.testing.assert_allclose(np.asarray(rec), av, atol=1e-12)
