@@ -386,7 +386,7 @@ def section_caslr():
 
     run_c = _sjit(lambda apb, amb, g, k: caslr_ladder(
         *casida_tdscf_ops(apb, amb, prec="std"), g, opts, algorithm=0,
-        lo_tol=2e-6, lo_iter=60, key=k), compiler_options=_alg0_no_msa())
+        lo_tol=2e-6, lo_iter=60, key=k), compiler_options={"xla_vf_vmem_memory_space_assignment": "false"})  # MSA-off: this program crashes the v5e worker with promotions ON (wide-off does not help); measured ok=true 68 iters 3.60 s/solve
     t0 = time.time()
     res = jax.block_until_ready(run_c(apb, amb, g, jax.random.PRNGKey(1)))
     log(f"caslr(alg0) ladder n={n}: compile+first solve "
@@ -970,24 +970,3 @@ if __name__ == "__main__":
     else:
         main()
 
-
-def _alg0_no_msa():
-    """Compiler options for the flagship caslr algorithm=0 ladder ONLY.
-
-    Round-5 measurement: the alg0 ladder program crashes the v5e worker
-    at first execution (UNAVAILABLE / kernel fault) with XLA's VMEM
-    memory-space-assignment promotions ON — wide-off does NOT help, MSA
-    off does (ok=true, 68 iters, 3.60 s/solve).  Same oversubscription
-    class as utils/compile.py documents; this program trips it even
-    after the SplitF64 relayout cleared lobpcg's.  Appended at the END
-    of the file so no other section's traced source lines shift
-    (DESIGN.md §6d cache-key note)."""
-    import jax as _jax_mod
-
-    try:
-        if (_jax_mod.default_backend() == "tpu"
-                and "v5" in _jax_mod.devices()[0].device_kind):
-            return {"xla_vf_vmem_memory_space_assignment": "false"}
-    except RuntimeError:
-        pass
-    return None
