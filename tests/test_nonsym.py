@@ -391,3 +391,37 @@ def test_pass_protocol_matches_consecutive():
     # the traced-flag program is ONE compilation serving both sides
     np.testing.assert_allclose(np.asarray(r2.eig[:n_want]),
                                np.asarray(r.eig[:n_want]), rtol=1e-12)
+
+
+def test_similarity_sided_matches_two_closure_ops():
+    """nonsym_similarity_sided(stores, sign=+1/-1) reproduces the
+    (mv, mv_l) pair of nonsym_similarity_ops exactly — the contract the
+    side-polymorphic flagship pass program relies on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diaglib_tpu.problems import (
+        bsr_nonsym_similarity,
+        nonsym_similarity_ops,
+        nonsym_similarity_sided,
+    )
+
+    n, B, bpr = 1024, 128, 3
+    stores, diag = bsr_nonsym_similarity(n, B, bpr, jax.random.PRNGKey(0))
+    s_store, st, stt = stores
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, n), jnp.float64)
+
+    mv, mv_l = nonsym_similarity_ops(stores, interpret=True)
+    mv_r_sided = nonsym_similarity_sided(s_store, st, 1.0, interpret=True)
+    mv_l_sided = nonsym_similarity_sided(s_store, stt, -1.0, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(mv_r_sided(x)),
+                                  np.asarray(mv(x)))
+    np.testing.assert_array_equal(np.asarray(mv_l_sided(x)),
+                                  np.asarray(mv_l(x)))
+    # the transpose relation: <y, R x> == <R^T y, x>
+    y = jax.random.normal(jax.random.PRNGKey(2), (4, n), jnp.float64)
+    lhs = float(jnp.sum(y * mv_r_sided(x)))
+    rhs = float(jnp.sum(mv_l_sided(y) * x))
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
